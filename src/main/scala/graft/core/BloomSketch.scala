@@ -1,0 +1,303 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Bloom filter sketch with reference-compatible geometry, bit layout and
+  * serialized formats (semantics from `/root/reference/src/bloom.c`, studied
+  * not translated — this implementation is a JVM bit-array with word-level
+  * set operations for Spark aggregation buffers).
+  *
+  * Geometry (`bloom.c:397-408`): `p` is float32 (part of the contract — the
+  * sizing math runs on the float-rounded value), and
+  * {{{
+  *   m = ceil(-n * ln(p) / LOG_TWO_SQUARED)
+  *   k = round(LOG_TWO * m / n)
+  *   bloomLength = ceil(m / 8) bytes
+  * }}}
+  * with the reference's exact literal constants.
+  *
+  * Bit layout (`bloom.c:24-25,171-181`): bit index `h mod m` (unsigned),
+  * byte `idx/8`, LSB-first within the byte — part of the on-wire format.
+  *
+  * Serialized binary form (`bloom.c:426-439`): `bloomLength` raw bytes,
+  * then little-endian footer `estimatedElements:u64 | elementsAdded:u64 |
+  * p:f32` (20 bytes). Hex form (`bloom.c:254-270`): lowercase `%02x` bytes
+  * then *textual big-endian* `%016x`,`%016x`,`%08x` metadata.
+  *
+  * Two merge flavours:
+  *  - [[mergeInPlace]]: bit-OR + additive `elementsAdded` — the Spark
+  *    aggregation monoid. Reproduces a serial build bit-for-bit at any
+  *    parallelism/merge-tree (union is associative, commutative; counters
+  *    add exactly), which is the ported `bloom_multi_thread.c:64-78`
+  *    invariance property.
+  *  - [[union]]/[[intersect]]: reference set-op semantics — result's
+  *    `elementsAdded` is set to the cardinality estimate
+  *    (`bloom.c:327-368`).
+  */
+final class BloomSketch private (
+    val estimatedElements: Long,
+    val falsePositiveRate: Float,
+    val numberHashes: Int,
+    val numberBits: Long,
+    val bits: Array[Byte],
+    private var _elementsAdded: Long
+) extends Serializable {
+
+  def elementsAdded: Long = _elementsAdded
+  def bloomLength: Int = bits.length
+
+  def hashes(key: String): Array[Long] = Fnv.hashes(key, numberHashes)
+  def hashes(key: Array[Byte]): Array[Long] = Fnv.hashes(key, numberHashes)
+
+  def add(key: String): Unit = addHashes(hashes(key))
+  def add(key: Array[Byte]): Unit = addHashes(hashes(key))
+
+  /** Set the k bits for a precomputed hash vector (`bloom.c:165-183`). */
+  def addHashes(hs: Array[Long]): Unit = {
+    require(hs.length >= numberHashes, "not enough hashes passed in")
+    var i = 0
+    while (i < numberHashes) {
+      val bitIdx = java.lang.Long.remainderUnsigned(hs(i), numberBits)
+      val byteIdx = (bitIdx >>> 3).toInt
+      bits(byteIdx) = (bits(byteIdx) | (1 << (bitIdx & 7L).toInt)).toByte
+      i += 1
+    }
+    _elementsAdded += 1
+  }
+
+  def contains(key: String): Boolean = containsHashes(hashes(key))
+  def contains(key: Array[Byte]): Boolean = containsHashes(hashes(key))
+
+  /** AND over k bit probes with early exit (`bloom.c:186-202`). */
+  def containsHashes(hs: Array[Long]): Boolean = {
+    require(hs.length >= numberHashes, "not enough hashes passed in")
+    var i = 0
+    while (i < numberHashes) {
+      val bitIdx = java.lang.Long.remainderUnsigned(hs(i), numberBits)
+      if ((bits((bitIdx >>> 3).toInt) & (1 << (bitIdx & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def clear(): Unit = {
+    java.util.Arrays.fill(bits, 0.toByte)
+    _elementsAdded = 0
+  }
+
+  def countSetBits: Long = {
+    var res = 0L
+    var i = 0
+    // whole 8-byte words via bitCount, tail byte-wise
+    while (i + 8 <= bits.length) {
+      var w = 0L
+      var j = 0
+      while (j < 8) { w |= (bits(i + j) & 0xffL) << (8 * j); j += 1 }
+      res += java.lang.Long.bitCount(w)
+      i += 8
+    }
+    while (i < bits.length) { res += Integer.bitCount(bits(i) & 0xff); i += 1 }
+    res
+  }
+
+  /** `⌊-(m/k)·ln(1 - X/m)⌋` (`bloom.c:317-325`), cast-truncated like C. */
+  def estimateElements: Long = BloomSketch.estimateElementsByValues(numberBits, countSetBits, numberHashes)
+
+  /** `(1 - e^{-(k·a)/m})^k` (`bloom.c:204-209`). Deliberate deviation from
+    * the reference: computed in wide arithmetic — the C version multiplies
+    * `k·a` in a 32-bit int and overflows past ~2^31 (documented quirk).
+    */
+  def currentFalsePositiveRate: Float = {
+    val d = -(numberHashes.toDouble * _elementsAdded.toDouble) / numberBits.toDouble
+    math.pow(1d - math.exp(d), numberHashes.toDouble).toFloat
+  }
+
+  /** After a set op the reference replaces the counter with the estimate
+    * (`bloom.c:365-368`).
+    */
+  def setElementsToEstimated(): Unit = _elementsAdded = estimateElements
+
+  def compatibleWith(other: BloomSketch): Boolean =
+    numberHashes == other.numberHashes && numberBits == other.numberBits
+
+  private def requireCompatible(other: BloomSketch): Unit =
+    require(compatibleWith(other), s"incompatible filters: (m=$numberBits,k=$numberHashes) vs (m=${other.numberBits},k=${other.numberHashes})")
+
+  /** Spark aggregation merge: bit-OR, counters add. Exact w.r.t. a serial
+    * build — see class doc.
+    */
+  def mergeInPlace(other: BloomSketch): BloomSketch = {
+    requireCompatible(other)
+    var i = 0
+    while (i < bits.length) { bits(i) = (bits(i) | other.bits(i)).toByte; i += 1 }
+    _elementsAdded += other._elementsAdded
+    this
+  }
+
+  /** Reference union semantics (`bloom.c:327-338`). */
+  def union(other: BloomSketch): BloomSketch = {
+    requireCompatible(other)
+    val res = copy()
+    var i = 0
+    while (i < bits.length) { res.bits(i) = (bits(i) | other.bits(i)).toByte; i += 1 }
+    res.setElementsToEstimated()
+    res
+  }
+
+  /** Reference intersect semantics (`bloom.c:352-363`). */
+  def intersect(other: BloomSketch): BloomSketch = {
+    requireCompatible(other)
+    val res = copy()
+    var i = 0
+    while (i < bits.length) { res.bits(i) = (bits(i) & other.bits(i)).toByte; i += 1 }
+    res.setElementsToEstimated()
+    res
+  }
+
+  def countUnionBitsSet(other: BloomSketch): Long = {
+    requireCompatible(other)
+    var res = 0L
+    var i = 0
+    while (i < bits.length) { res += Integer.bitCount((bits(i) | other.bits(i)) & 0xff); i += 1 }
+    res
+  }
+
+  def countIntersectionBitsSet(other: BloomSketch): Long = {
+    requireCompatible(other)
+    var res = 0L
+    var i = 0
+    while (i < bits.length) { res += Integer.bitCount((bits(i) & other.bits(i)) & 0xff); i += 1 }
+    res
+  }
+
+  /** `|A∩B bits| / |A∪B bits|`; 1.0 when the union is empty
+    * (`bloom.c:382-392`).
+    */
+  def jaccardIndex(other: BloomSketch): Float = {
+    val u = countUnionBitsSet(other).toFloat
+    if (u == 0f) 1.0f else countIntersectionBitsSet(other).toFloat / u
+  }
+
+  def serializedSize: Long = bits.length.toLong + 20L
+
+  /** Reference binary layout (`bloom.c:426-439`): array then LE footer. */
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(bits.length + 20).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(bits)
+    buf.putLong(estimatedElements)
+    buf.putLong(_elementsAdded)
+    buf.putFloat(falsePositiveRate)
+    buf.array()
+  }
+
+  /** Reference hex layout (`bloom.c:254-270`): lowercase bytes, then
+    * textual `%016x` est, `%016x` added, `%08x` IEEE-754 bits of p.
+    */
+  def toHexString: String = {
+    val sb = new java.lang.StringBuilder(bits.length * 2 + 40)
+    val hexDigits = "0123456789abcdef"
+    var i = 0
+    while (i < bits.length) {
+      val b = bits(i) & 0xff
+      sb.append(hexDigits(b >>> 4)).append(hexDigits(b & 0xf))
+      i += 1
+    }
+    sb.append(f"$estimatedElements%016x")
+    sb.append(f"${_elementsAdded}%016x")
+    sb.append(f"${java.lang.Float.floatToIntBits(falsePositiveRate)}%08x")
+    sb.toString
+  }
+
+  def copy(): BloomSketch =
+    new BloomSketch(estimatedElements, falsePositiveRate, numberHashes, numberBits, bits.clone(), _elementsAdded)
+
+  /** Exact 11-line report format of `bloom_filter_stats`
+    * (`bloom.c:122-143`), golden-tested by the reference
+    * (`testsuite.c:823-834`).
+    */
+  def statsString: String = {
+    f"""BloomFilter
+    bits: $numberBits%d
+    estimated elements: $estimatedElements%d
+    number hashes: $numberHashes%d
+    max false positive rate: ${falsePositiveRate.toDouble}%f
+    bloom length (8 bits): ${bits.length}%d
+    elements added: ${_elementsAdded}%d
+    estimated elements added: $estimateElements%d
+    current false positive rate: ${currentFalsePositiveRate.toDouble}%f
+    export size (bytes): $serializedSize%d
+    number bits set: $countSetBits%d
+    is on disk: no
+"""
+  }
+
+  override def toString: String =
+    s"BloomSketch(n=$estimatedElements,p=$falsePositiveRate,k=$numberHashes,m=$numberBits,added=${_elementsAdded})"
+}
+
+object BloomSketch {
+  /** Exact reference constants (`bloom.c:31-33`) — required for geometry
+    * fidelity (float32 `p` + these literals reproduce the golden k/m).
+    */
+  final val LogTwoSquared: Double = 0.480453013918201388143813800
+  final val LogTwo: Double = 0.693147180559945286226764000
+
+  /** `(m, k, bloomLength)` per `__calculate_optimal_hashes`
+    * (`bloom.c:397-408`).
+    */
+  def geometry(n: Long, p: Float): (Long, Int, Int) = {
+    require(n > 0, s"estimated elements must be > 0, got $n")
+    require(p > 0f && p < 1f, s"false positive rate must be in (0,1), got $p")
+    val m = math.ceil(-n.toDouble * math.log(p.toDouble) / LogTwoSquared).toLong
+    val k = math.round(LogTwo * m.toDouble / n.toDouble).toInt
+    val len = math.ceil(m / 8.0).toLong
+    require(len <= Int.MaxValue - 8, s"bloom bit array too large for a single JVM sketch: $len bytes; shard the filter (see ShardedBloom docs)")
+    (m, k, len.toInt)
+  }
+
+  def empty(n: Long, p: Float): BloomSketch = {
+    val (m, k, len) = geometry(n, p)
+    new BloomSketch(n, p, k, m, new Array[Byte](len), 0L)
+  }
+
+  /** `⌊-(m/k)·ln(1 - X/m)⌋` (`bloom.c:321-325`). */
+  def estimateElementsByValues(m: Long, setBits: Long, k: Int): Long = {
+    val logN = math.log(1d - setBits.toDouble / m.toDouble)
+    (-(m.toDouble / k.toDouble) * logN).toLong
+  }
+
+  /** Inverse of [[BloomSketch.serialize]] (`bloom.c:442-458`): footer from
+    * the tail, geometry recomputed from `(n, p)`.
+    */
+  def deserialize(bytes: Array[Byte]): BloomSketch = {
+    require(bytes.length > 20, s"serialized bloom too short: ${bytes.length}")
+    val buf = ByteBuffer.wrap(bytes, bytes.length - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getLong
+    val added = buf.getLong
+    val p = buf.getFloat
+    val (m, k, len) = geometry(n, p)
+    require(len == bytes.length - 20, s"corrupt bloom blob: expected array of $len bytes, got ${bytes.length - 20}")
+    val arr = java.util.Arrays.copyOfRange(bytes, 0, len)
+    new BloomSketch(n, p, k, m, arr, added)
+  }
+
+  /** Inverse of [[BloomSketch.toHexString]] (`bloom.c:272-303`). Like the
+    * reference, only odd length is rejected.
+    */
+  def fromHexString(hex: String): BloomSketch = {
+    require(hex.length % 2 == 0, "unable to parse hex: odd length")
+    require(hex.length >= 40, "unable to parse hex: too short")
+    val n = java.lang.Long.parseUnsignedLong(hex.substring(hex.length - 40, hex.length - 24), 16)
+    val added = java.lang.Long.parseUnsignedLong(hex.substring(hex.length - 24, hex.length - 8), 16)
+    val p = java.lang.Float.intBitsToFloat(java.lang.Integer.parseUnsignedInt(hex.substring(hex.length - 8), 16))
+    val (m, k, len) = geometry(n, p)
+    val arr = new Array[Byte](len)
+    var i = 0
+    while (i < len && i * 2 + 2 <= hex.length) {
+      arr(i) = java.lang.Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
+      i += 1
+    }
+    new BloomSketch(n, p, k, m, arr, added)
+  }
+}
