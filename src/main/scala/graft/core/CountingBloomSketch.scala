@@ -1,0 +1,136 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Counting Bloom filter: the reference family's counting variant (barrust
+  * maintains it in pyprobables; design per Fan, Cao, Almeida, Broder,
+  * "Summary Cache: A Scalable Wide-Area Web Cache Sharing Protocol", 2000).
+  *
+  * Same geometry and hashing as [[BloomSketch]] (reference
+  * `bloom.c:397-408,490-508`), but each bit is a 32-bit counter, which
+  * supports `remove` and exact frequency-floor queries. The merge is
+  * element-wise counter addition — associative and commutative, so it is a
+  * legal Spark aggregation monoid at any merge-tree shape.
+  */
+final class CountingBloomSketch private (
+    val estimatedElements: Long,
+    val falsePositiveRate: Float,
+    val numberHashes: Int,
+    val numberBits: Long, // number of counters
+    val counters: Array[Int],
+    private var _elementsAdded: Long
+) extends Serializable {
+
+  def elementsAdded: Long = _elementsAdded
+
+  private def indices(key: String): Array[Int] = {
+    val hs = Fnv.hashes(key, numberHashes)
+    val out = new Array[Int](numberHashes)
+    var i = 0
+    while (i < numberHashes) {
+      out(i) = java.lang.Long.remainderUnsigned(hs(i), numberBits).toInt
+      i += 1
+    }
+    out
+  }
+
+  def add(key: String): Unit = {
+    val idx = indices(key)
+    var i = 0
+    while (i < idx.length) {
+      val j = idx(i)
+      if (counters(j) != Int.MaxValue) counters(j) += 1
+      i += 1
+    }
+    _elementsAdded += 1
+  }
+
+  /** Decrement the key's counters (floor at 0). No-op semantics if the key
+    * was never added — counting blooms cannot detect that; callers own it.
+    */
+  def remove(key: String): Unit = {
+    val idx = indices(key)
+    var i = 0
+    while (i < idx.length) {
+      val j = idx(i)
+      if (counters(j) > 0) counters(j) -= 1
+      i += 1
+    }
+    if (_elementsAdded > 0) _elementsAdded -= 1
+  }
+
+  def contains(key: String): Boolean = {
+    val idx = indices(key)
+    var i = 0
+    while (i < idx.length) {
+      if (counters(idx(i)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Upper bound on the key's insert count: min over its k counters. */
+  def estimateCount(key: String): Int = {
+    val idx = indices(key)
+    var mn = Int.MaxValue
+    var i = 0
+    while (i < idx.length) {
+      if (counters(idx(i)) < mn) mn = counters(idx(i))
+      i += 1
+    }
+    mn
+  }
+
+  def countSetCounters: Long = counters.count(_ > 0).toLong
+
+  def compatibleWith(other: CountingBloomSketch): Boolean =
+    numberHashes == other.numberHashes && numberBits == other.numberBits
+
+  /** Element-wise saturating counter add — the aggregation merge. */
+  def mergeInPlace(other: CountingBloomSketch): CountingBloomSketch = {
+    require(compatibleWith(other), "incompatible counting blooms")
+    var i = 0
+    while (i < counters.length) {
+      val s = counters(i).toLong + other.counters(i).toLong
+      counters(i) = if (s > Int.MaxValue) Int.MaxValue else s.toInt
+      i += 1
+    }
+    _elementsAdded += other._elementsAdded
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(counters.length * 4 + 20).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < counters.length) { buf.putInt(counters(i)); i += 1 }
+    buf.putLong(estimatedElements)
+    buf.putLong(_elementsAdded)
+    buf.putFloat(falsePositiveRate)
+    buf.array()
+  }
+
+  override def toString: String =
+    s"CountingBloomSketch(n=$estimatedElements,p=$falsePositiveRate,k=$numberHashes,m=$numberBits,added=${_elementsAdded})"
+}
+
+object CountingBloomSketch {
+  def empty(n: Long, p: Float): CountingBloomSketch = {
+    val (m, k, _) = BloomSketch.geometry(n, p)
+    require(m <= Int.MaxValue - 8, s"counting bloom too large for one JVM sketch: $m counters")
+    new CountingBloomSketch(n, p, k, m, new Array[Int](m.toInt), 0L)
+  }
+
+  def deserialize(bytes: Array[Byte]): CountingBloomSketch = {
+    val buf = ByteBuffer.wrap(bytes, bytes.length - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getLong
+    val added = buf.getLong
+    val p = buf.getFloat
+    val (m, k, _) = BloomSketch.geometry(n, p)
+    require(bytes.length - 20 == m * 4, s"corrupt counting bloom blob: ${bytes.length}")
+    val arr = new Array[Int](m.toInt)
+    val body = ByteBuffer.wrap(bytes, 0, arr.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < arr.length) { arr(i) = body.getInt; i += 1 }
+    new CountingBloomSketch(n, p, k, m, arr, added)
+  }
+}

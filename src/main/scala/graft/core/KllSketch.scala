@@ -1,0 +1,216 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** KLL streaming quantile sketch, from scratch per Karnin, Lang, Liberty,
+  * "Optimal Quantile Approximation in Streams" (FOCS 2016).
+  *
+  * Structure: a stack of compactors; level h holds items of weight `2^h`.
+  * Level capacities decay geometrically (`k · c^(top − h)`, c = 2/3,
+  * floor 2). A full level sorts itself and promotes every other item to
+  * the level above (a "compaction"), halving its item count while
+  * preserving ranks to within the published bound: normalized rank error
+  * `O(1/k)` — empirically ≈ `1.75/k` at 99% confidence for this family.
+  *
+  * Determinism: the compaction offset (keep odd vs even positions)
+  * alternates per level instead of a random coin. This keeps the error
+  * bound in practice and — unlike the randomized original — makes results
+  * reproducible for a fixed merge tree; accuracy (not bit-identity) is the
+  * cross-tree guarantee, mirroring the t-digest caveat.
+  *
+  * Merge: concatenate levels pairwise, then compact top-down until within
+  * capacity — associative up to the published error bound.
+  */
+final class KllSketch private (
+    val k: Int,
+    private var levels: ArrayBuffer[ArrayBuffer[Double]],
+    private var flips: Array[Long],
+    private var _count: Long,
+    private var _min: Double,
+    private var _max: Double
+) extends Serializable {
+
+  private final val C = 2.0 / 3.0
+
+  def count: Long = _count
+  def min: Double = _min
+  def max: Double = _max
+  def numLevels: Int = levels.length
+
+  private def capacity(level: Int): Int = {
+    val depth = levels.length - 1 - level
+    math.max(2, math.ceil(k * math.pow(C, depth.toDouble)).toInt)
+  }
+
+  private def totalItems: Int = levels.map(_.length).sum
+  private def totalCapacity: Int = levels.indices.map(capacity).sum
+
+  def add(x: Double): Unit = {
+    require(!x.isNaN, "NaN not supported")
+    levels(0) += x
+    _count += 1
+    if (x < _min) _min = x
+    if (x > _max) _max = x
+    compressIfNeeded()
+  }
+
+  private def compressIfNeeded(): Unit = {
+    while (totalItems > totalCapacity) {
+      // find lowest level at/over its capacity and compact it
+      var h = 0
+      while (h < levels.length && levels(h).length < capacity(h)) h += 1
+      if (h == levels.length) {
+        // all under individual caps but over total: compact the fullest
+        h = levels.indices.maxBy(i => levels(i).length - capacity(i))
+      }
+      compactLevel(h)
+    }
+  }
+
+  private def compactLevel(h: Int): Unit = {
+    if (h + 1 == levels.length) {
+      levels += ArrayBuffer.empty[Double]
+      if (flips.length < levels.length) flips = java.util.Arrays.copyOf(flips, levels.length)
+    }
+    val buf = levels(h)
+    if (buf.length < 2) return
+    val sorted = buf.sortInPlace()
+    val keepOdd = (flips(h) & 1L) == 1L
+    flips(h) += 1
+    val promoted = new ArrayBuffer[Double](sorted.length / 2)
+    var i = if (keepOdd) 1 else 0
+    while (i < sorted.length) { promoted += sorted(i); i += 2 }
+    // an odd leftover item (when keepOdd and length is odd → floor(n/2)
+    // promoted; one item's weight is redistributed by the selection itself)
+    levels(h) = ArrayBuffer.empty[Double]
+    if (sorted.length % 2 == 1 && !keepOdd) {
+      // even positions of an odd-length buffer select (n+1)/2 items; drop
+      // the last to keep weight 2x per promoted item unbiased-in-pairs
+      if (promoted.nonEmpty && promoted.length * 2 > sorted.length) {
+        levels(h) += promoted.remove(promoted.length - 1)
+      }
+    }
+    levels(h + 1) ++= promoted
+  }
+
+  def mergeInPlace(other: KllSketch): KllSketch = {
+    require(k == other.k, s"incompatible KLL k: $k vs ${other.k}")
+    while (levels.length < other.levels.length) {
+      levels += ArrayBuffer.empty[Double]
+    }
+    if (flips.length < levels.length) flips = java.util.Arrays.copyOf(flips, levels.length)
+    var h = 0
+    while (h < other.levels.length) {
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    _count += other._count
+    if (other._min < _min) _min = other._min
+    if (other._max > _max) _max = other._max
+    compressIfNeeded()
+    this
+  }
+
+  /** All retained (item, weight) pairs sorted by item. */
+  private def weightedItems: Array[(Double, Long)] = {
+    val out = new ArrayBuffer[(Double, Long)](totalItems)
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(x => out += ((x, w)))
+      h += 1
+    }
+    out.sortInPlace()(Ordering.by(_._1))
+    out.toArray
+  }
+
+  /** Rank-based quantile: smallest retained item whose cumulative weight
+    * covers `q·N`.
+    */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    if (_count == 0) return Double.NaN
+    if (q == 0.0) return _min
+    if (q == 1.0) return _max
+    val items = weightedItems
+    val target = q * _count
+    var cum = 0L
+    var i = 0
+    while (i < items.length) {
+      cum += items(i)._2
+      if (cum >= target) return items(i)._1
+      i += 1
+    }
+    _max
+  }
+
+  /** Normalized rank of a value (fraction of stream ≤ x), within the
+    * published rank-error bound.
+    */
+  def rank(x: Double): Double = {
+    if (_count == 0) return Double.NaN
+    var below = 0L
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(v => if (v <= x) below += w)
+      h += 1
+    }
+    below.toDouble / _count.toDouble
+  }
+
+  /** Published normalized rank-error bound (~99% confidence) for KLL. */
+  def normalizedRankError: Double = 1.75 / k.toDouble
+
+  def serialize(): Array[Byte] = {
+    val items = totalItems
+    val buf = ByteBuffer.allocate(4 + 8 + 8 + 8 + 4 + levels.length * (4 + 8) + items * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(k)
+    buf.putLong(_count)
+    buf.putDouble(_min)
+    buf.putDouble(_max)
+    buf.putInt(levels.length)
+    var h = 0
+    while (h < levels.length) {
+      buf.putInt(levels(h).length)
+      buf.putLong(if (h < flips.length) flips(h) else 0L)
+      levels(h).foreach(buf.putDouble)
+      h += 1
+    }
+    buf.array()
+  }
+
+  override def toString: String = s"KllSketch(k=$k,n=${_count},levels=${levels.length},retained=$totalItems)"
+}
+
+object KllSketch {
+  def empty(k: Int): KllSketch = {
+    require(k >= 8 && k <= 65535, s"KLL k must be in [8,65535], got $k")
+    new KllSketch(k, ArrayBuffer(ArrayBuffer.empty[Double]), new Array[Long](1), 0L,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+  }
+
+  def deserialize(bytes: Array[Byte]): KllSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val k = buf.getInt
+    val count = buf.getLong
+    val mn = buf.getDouble
+    val mx = buf.getDouble
+    val nLevels = buf.getInt
+    val levels = new ArrayBuffer[ArrayBuffer[Double]](nLevels)
+    val flips = new Array[Long](nLevels)
+    var h = 0
+    while (h < nLevels) {
+      val n = buf.getInt
+      flips(h) = buf.getLong
+      val lvl = new ArrayBuffer[Double](n)
+      var i = 0
+      while (i < n) { lvl += buf.getDouble; i += 1 }
+      levels += lvl
+      h += 1
+    }
+    new KllSketch(k, levels, flips, count, mn, mx)
+  }
+}
