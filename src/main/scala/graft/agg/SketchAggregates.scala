@@ -1,0 +1,238 @@
+package graft.agg
+
+import graft.core._
+import org.apache.spark.sql.catalyst.InternalRow
+import graft.expr.GraftTypeCheck
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst `TypedImperativeAggregate`s for the graft sketches.
+  *
+  * Execution shape (the distributed analog of the reference's OpenMP build,
+  * `bloom_multi_thread.c`): per-partition `update` into an object buffer →
+  * `serialize` only at the shuffle boundary → `merge` on the reduce side →
+  * `eval` emits the sketch blob in its reference-compatible byte layout.
+  * Runs on the `ObjectHashAggregateExec` path, so the buffer lives as a
+  * JVM object between rows — no per-row serde.
+  *
+  * All sketch parameters are constructor (literal) params, so every buffer
+  * of one aggregate shares geometry and merges are structurally compatible
+  * (the reference's `__check_if_union_or_intersection_ok`, `bloom.c:414-423`,
+  * is enforced by construction).
+  */
+abstract class SketchAgg[S >: Null <: AnyRef] extends TypedImperativeAggregate[S]
+    with UnaryLike[Expression] with GraftTypeCheck {
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  /** Extract the input value as UTF-8 bytes (strings hash by their UTF-8
+    * bytes — the library hash contract; see [[graft.core.Fnv]]).
+    */
+  protected final def keyBytes(input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) null
+    else child.dataType match {
+      case StringType => v.asInstanceOf[UTF8String].getBytes
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case _ => UTF8String.fromString(v.toString).getBytes
+    }
+  }
+}
+
+/** `bloom_sketch(col, n, p)` — reference-semantics Bloom filter build.
+  * Merge = bit-OR + additive insert counter (exact vs a serial build at any
+  * parallelism, the ported `bloom_multi_thread.c:64-78` invariance).
+  */
+case class BloomSketchAgg(
+    child: Expression,
+    estimatedElements: Long,
+    fpp: Float,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[BloomSketch] {
+
+  override def prettyName: String = "bloom_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
+
+  override def createAggregationBuffer(): BloomSketch = BloomSketch.empty(estimatedElements, fpp)
+
+  override def update(b: BloomSketch, input: InternalRow): BloomSketch = {
+    val k = keyBytes(input)
+    if (k != null) b.add(k)
+    b
+  }
+
+  override def merge(b: BloomSketch, o: BloomSketch): BloomSketch = b.mergeInPlace(o)
+  override def eval(b: BloomSketch): Any = b.serialize()
+  override def serialize(b: BloomSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomSketchAgg = copy(child = c)
+}
+
+/** `counting_bloom_sketch(col, n, p)` — counting variant; merge = counter add. */
+case class CountingBloomSketchAgg(
+    child: Expression,
+    estimatedElements: Long,
+    fpp: Float,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[CountingBloomSketch] {
+
+  override def prettyName: String = "counting_bloom_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
+
+  override def createAggregationBuffer(): CountingBloomSketch = CountingBloomSketch.empty(estimatedElements, fpp)
+
+  override def update(b: CountingBloomSketch, input: InternalRow): CountingBloomSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = child.dataType match {
+        case StringType => v.asInstanceOf[UTF8String].toString
+        case BinaryType => new String(v.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
+        case _ => v.toString
+      }
+      b.add(s)
+    }
+    b
+  }
+
+  override def merge(b: CountingBloomSketch, o: CountingBloomSketch): CountingBloomSketch = b.mergeInPlace(o)
+  override def eval(b: CountingBloomSketch): Any = b.serialize()
+  override def serialize(b: CountingBloomSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): CountingBloomSketch = CountingBloomSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CountingBloomSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountingBloomSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CountingBloomSketchAgg = copy(child = c)
+}
+
+/** `hll_sketch(col, precision)` — HyperLogLog; merge = register max (exact
+  * monoid: bit-identical to a serial build at any tree).
+  * Integral inputs hash their 64-bit value directly; strings/binary hash
+  * UTF-8 bytes. Both via splitmix64 finalization (see [[HllSketch]]).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    precision: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[HllSketch] {
+
+  override def prettyName: String = "hll_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.hashable)
+
+  override def createAggregationBuffer(): HllSketch = HllSketch.empty(precision)
+
+  override def update(b: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case StringType => b.add(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => b.add(v.asInstanceOf[Array[Byte]])
+      case _ => b.addLong(v.asInstanceOf[Number].longValue())
+    }
+    b
+  }
+
+  override def merge(b: HllSketch, o: HllSketch): HllSketch = b.mergeInPlace(o)
+  override def eval(b: HllSketch): Any = b.serialize()
+  override def serialize(b: HllSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllSketchAgg = copy(child = c)
+}
+
+/** `cms_sketch(col, eps, delta)` — count-min; merge = counter add (exact monoid). */
+case class CmsSketchAgg(
+    child: Expression,
+    eps: Double,
+    delta: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[CmsSketch] {
+
+  override def prettyName: String = "cms_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary ++ Seq(LongType, IntegerType))
+
+  override def createAggregationBuffer(): CmsSketch = CmsSketch.empty(eps, delta)
+
+  override def update(b: CmsSketch, input: InternalRow): CmsSketch = {
+    val k = keyBytes(input)
+    if (k != null) b.add(k, 1L)
+    b
+  }
+
+  override def merge(b: CmsSketch, o: CmsSketch): CmsSketch = b.mergeInPlace(o)
+  override def eval(b: CmsSketch): Any = b.serialize()
+  override def serialize(b: CmsSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): CmsSketch = CmsSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsSketchAgg = copy(child = c)
+}
+
+/** `tdigest_sketch(col, compression)` — quantiles via merging t-digest. */
+case class TDigestSketchAgg(
+    child: Expression,
+    compression: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[TDigestSketch] {
+
+  override def prettyName: String = "tdigest_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.double)
+
+  override def createAggregationBuffer(): TDigestSketch = TDigestSketch.empty(compression)
+
+  override def update(b: TDigestSketch, input: InternalRow): TDigestSketch = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: TDigestSketch, o: TDigestSketch): TDigestSketch = b.mergeInPlace(o)
+  override def eval(b: TDigestSketch): Any = b.serialize()
+  override def serialize(b: TDigestSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigestSketch = TDigestSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TDigestSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestSketchAgg = copy(child = c)
+}
+
+/** `kll_sketch(col, k)` — quantiles via KLL compactors. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[KllSketch] {
+
+  override def prettyName: String = "kll_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.double)
+
+  override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
+
+  override def update(b: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: KllSketch, o: KllSketch): KllSketch = b.mergeInPlace(o)
+  override def eval(b: KllSketch): Any = b.serialize()
+  override def serialize(b: KllSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg = copy(child = c)
+}

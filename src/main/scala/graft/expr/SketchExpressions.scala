@@ -1,0 +1,276 @@
+package graft.expr
+
+import graft.core._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar expressions over serialized sketch blobs.
+  *
+  * Deserialization caching: probing expressions are used with a constant
+  * (literal / broadcast) blob against millions of rows — e.g. the
+  * Bloom-semi-join pre-filter. Each expression instance memoizes the last
+  * deserialized sketch by blob reference identity, so a constant blob is
+  * deserialized once per task, not per row (the distributed analog of the
+  * reference's hash-once/probe-many `*_alt` API, `bloom.h:119-126`).
+  */
+private[graft] final class SketchCache[S <: AnyRef] extends Serializable {
+  @transient private var blobRef: Array[Byte] = _
+  @transient private var sketch: S = _
+  def get(blob: Array[Byte], parse: Array[Byte] => S): S = {
+    if (sketch == null || (blobRef ne blob)) {
+      sketch = parse(blob)
+      blobRef = blob
+    }
+    sketch
+  }
+}
+
+/** `fnv1a_hash(col, seed)` — the reference hash (`bloom.c:499-508`) as a
+  * debuggable scalar function.
+  */
+case class Fnv1aHash(child: Expression, seed: Int)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "fnv1a_hash"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => Fnv.fnv1a(v.asInstanceOf[UTF8String].getBytes, seed)
+    case BinaryType => Fnv.fnv1a(v.asInstanceOf[Array[Byte]], seed)
+  }
+  override protected def withNewChildInternal(c: Expression): Fnv1aHash = copy(child = c)
+}
+
+private[graft] trait BloomBinaryKeyProbe extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient protected lazy val cache = new SketchCache[BloomSketch]
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
+  protected final def keyOf(v: Any): Array[Byte] = right.dataType match {
+    case StringType => v.asInstanceOf[UTF8String].getBytes
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+  }
+  protected final def sketchOf(blob: Any): BloomSketch =
+    cache.get(blob.asInstanceOf[Array[Byte]], BloomSketch.deserialize)
+}
+
+/** `bloom_might_contain(blob, key)` — AND over k bit probes with early exit
+  * (semantics `bloom.c:186-202`). Zero false negatives; FP rate bounded by
+  * the filter's configured p.
+  */
+case class BloomMightContain(left: Expression, right: Expression) extends BloomBinaryKeyProbe {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(blob: Any, key: Any): Any = sketchOf(blob).contains(keyOf(key))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain = copy(l, r)
+}
+
+private[graft] abstract class BloomUnaryFn extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient protected lazy val cache = new SketchCache[BloomSketch]
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  protected final def sketchOf(blob: Any): BloomSketch =
+    cache.get(blob.asInstanceOf[Array[Byte]], BloomSketch.deserialize)
+}
+
+/** `bloom_estimate_elements(blob)` (`bloom.c:317-325`). */
+case class BloomEstimateElements(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_estimate_elements"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(blob: Any): Any = sketchOf(blob).estimateElements
+  override protected def withNewChildInternal(c: Expression): BloomEstimateElements = copy(c)
+}
+
+/** `bloom_elements_added(blob)` — the insert counter from the blob footer. */
+case class BloomElementsAdded(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_elements_added"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(blob: Any): Any = sketchOf(blob).elementsAdded
+  override protected def withNewChildInternal(c: Expression): BloomElementsAdded = copy(c)
+}
+
+/** `bloom_current_fpr(blob)` (`bloom.c:204-209`, computed wide). */
+case class BloomCurrentFpr(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_current_fpr"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(blob: Any): Any = sketchOf(blob).currentFalsePositiveRate.toDouble
+  override protected def withNewChildInternal(c: Expression): BloomCurrentFpr = copy(c)
+}
+
+/** `bloom_bits_set(blob)` (`bloom.c:309-315`). */
+case class BloomBitsSet(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_bits_set"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(blob: Any): Any = sketchOf(blob).countSetBits
+  override protected def withNewChildInternal(c: Expression): BloomBitsSet = copy(c)
+}
+
+/** `bloom_to_hex(blob)` — reference hex format (`bloom.c:254-270`). */
+case class BloomToHex(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_to_hex"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(blob: Any): Any = UTF8String.fromString(sketchOf(blob).toHexString)
+  override protected def withNewChildInternal(c: Expression): BloomToHex = copy(c)
+}
+
+/** `bloom_from_hex(str)` — parse reference hex to a blob (`bloom.c:272-303`). */
+case class BloomFromHex(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "bloom_from_hex"
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes = Seq(GraftTypeCheck.string)
+  override def nullSafeEval(hex: Any): Any =
+    BloomSketch.fromHexString(hex.asInstanceOf[UTF8String].toString).serialize()
+  override protected def withNewChildInternal(c: Expression): BloomFromHex = copy(c)
+}
+
+/** `bloom_stats(blob)` — the exact 11-line report (`bloom.c:122-143`). */
+case class BloomStats(child: Expression) extends BloomUnaryFn {
+  override def prettyName: String = "bloom_stats"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(blob: Any): Any = UTF8String.fromString(sketchOf(blob).statsString)
+  override protected def withNewChildInternal(c: Expression): BloomStats = copy(c)
+}
+
+private[graft] abstract class BloomSetOp extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient protected lazy val cacheL = new SketchCache[BloomSketch]
+  @transient protected lazy val cacheR = new SketchCache[BloomSketch]
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.binary)
+  protected final def sketches(a: Any, b: Any): (BloomSketch, BloomSketch) = (
+    cacheL.get(a.asInstanceOf[Array[Byte]], BloomSketch.deserialize),
+    cacheR.get(b.asInstanceOf[Array[Byte]], BloomSketch.deserialize))
+}
+
+/** `bloom_union(a, b)` — reference semantics: bit-OR, counter := estimate
+  * (`bloom.c:327-338`).
+  */
+case class BloomUnionExpr(left: Expression, right: Expression) extends BloomSetOp {
+  override def prettyName: String = "bloom_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.union(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomUnionExpr = copy(l, r)
+}
+
+/** `bloom_intersect(a, b)` (`bloom.c:352-363`). */
+case class BloomIntersectExpr(left: Expression, right: Expression) extends BloomSetOp {
+  override def prettyName: String = "bloom_intersect"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.intersect(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomIntersectExpr = copy(l, r)
+}
+
+/** `bloom_jaccard(a, b)` (`bloom.c:382-392`); float in the reference,
+  * surfaced as double.
+  */
+case class BloomJaccard(left: Expression, right: Expression) extends BloomSetOp {
+  override def prettyName: String = "bloom_jaccard"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.jaccardIndex(y).toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomJaccard = copy(l, r)
+}
+
+/** `cbf_contains(blob, key)` / `cbf_count(blob, key)` — counting-Bloom probes. */
+case class CbfCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[CountingBloomSketch]
+  override def prettyName: String = "cbf_count"
+  override def dataType: DataType = IntegerType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.string)
+  override def nullSafeEval(blob: Any, key: Any): Any =
+    cache.get(blob.asInstanceOf[Array[Byte]], CountingBloomSketch.deserialize)
+      .estimateCount(key.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CbfCount = copy(l, r)
+}
+
+/** `hll_estimate(blob)` — HLL cardinality estimate, rounded to Long. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[HllSketch]
+  override def prettyName: String = "hll_estimate"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any =
+    cache.get(blob.asInstanceOf[Array[Byte]], HllSketch.deserialize).estimateLong
+  override protected def withNewChildInternal(c: Expression): HllEstimate = copy(c)
+}
+
+/** `hll_merge(a, b)` — register-max union of two HLL blobs. */
+case class HllMergeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "hll_merge"
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.binary)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = HllSketch.deserialize(a.asInstanceOf[Array[Byte]])
+    x.mergeInPlace(HllSketch.deserialize(b.asInstanceOf[Array[Byte]])).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllMergeExpr = copy(l, r)
+}
+
+/** `cms_query(blob, key)` — count-min point query (never underestimates). */
+case class CmsQuery(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[CmsSketch]
+  override def prettyName: String = "cms_query"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
+  override def nullSafeEval(blob: Any, key: Any): Any = {
+    val k = right.dataType match {
+      case StringType => key.asInstanceOf[UTF8String].getBytes
+      case BinaryType => key.asInstanceOf[Array[Byte]]
+    }
+    cache.get(blob.asInstanceOf[Array[Byte]], CmsSketch.deserialize).estimateCount(k)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery = copy(l, r)
+}
+
+/** `cms_total_count(blob)` — stream length N of a CMS blob. */
+case class CmsTotalCount(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "cms_total_count"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any =
+    CmsSketch.deserialize(blob.asInstanceOf[Array[Byte]]).totalCount
+  override protected def withNewChildInternal(c: Expression): CmsTotalCount = copy(c)
+}
+
+/** `tdigest_quantile(blob, q)` — t-digest quantile estimate. */
+case class TDigestQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[TDigestSketch]
+  override def prettyName: String = "tdigest_quantile"
+  override def dataType: DataType = DoubleType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  override def nullSafeEval(blob: Any, q: Any): Any =
+    cache.get(blob.asInstanceOf[Array[Byte]], TDigestSketch.deserialize).quantile(q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestQuantile = copy(l, r)
+}
+
+/** `kll_quantile(blob, q)` — KLL quantile estimate. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[KllSketch]
+  override def prettyName: String = "kll_quantile"
+  override def dataType: DataType = DoubleType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  override def nullSafeEval(blob: Any, q: Any): Any =
+    cache.get(blob.asInstanceOf[Array[Byte]], KllSketch.deserialize).quantile(q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile = copy(l, r)
+}
+
+/** `kll_rank(blob, x)` — normalized rank of a value. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[KllSketch]
+  override def prettyName: String = "kll_rank"
+  override def dataType: DataType = DoubleType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  override def nullSafeEval(blob: Any, x: Any): Any =
+    cache.get(blob.asInstanceOf[Array[Byte]], KllSketch.deserialize).rank(x.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank = copy(l, r)
+}

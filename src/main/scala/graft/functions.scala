@@ -1,0 +1,169 @@
+package graft
+
+import graft.agg._
+import graft.expr._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types.DoubleType
+
+/** Public DataFrame/Column API of the graft sketch library.
+  *
+  * {{{
+  *   import graft.functions._
+  *   pages.agg(bloom_sketch($"url", 1000000L, 0.01f).as("sk"))
+  *   pages.groupBy($"lang").agg(hll_sketch($"url", 14).as("distinct_urls"))
+  *   df.filter(bloom_might_contain(lit(blob), $"url"))
+  * }}}
+  */
+object functions {
+
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  // ----- aggregates -----
+
+  /** Bloom filter over a string/binary column; reference geometry `(n, p)`. */
+  def bloom_sketch(c: Column, estimatedElements: Long, fpp: Float): Column =
+    col(BloomSketchAgg(ex(c), estimatedElements, fpp).toAggregateExpression())
+
+  /** Counting Bloom filter (supports removal / frequency floors). */
+  def counting_bloom_sketch(c: Column, estimatedElements: Long, fpp: Float): Column =
+    col(CountingBloomSketchAgg(ex(c), estimatedElements, fpp).toAggregateExpression())
+
+  /** HyperLogLog distinct-count sketch; `m = 2^precision` registers. */
+  def hll_sketch(c: Column, precision: Int = 14): Column =
+    col(HllSketchAgg(ex(c), precision).toAggregateExpression())
+
+  /** Count-min frequency sketch; `est <= true + eps*N` w.p. `1-delta`. */
+  def cms_sketch(c: Column, eps: Double = 0.0001, delta: Double = 0.01): Column =
+    col(CmsSketchAgg(ex(c), eps, delta).toAggregateExpression())
+
+  /** t-digest quantile sketch over a numeric column. */
+  def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
+    col(TDigestSketchAgg(ex(c.cast(DoubleType)), compression).toAggregateExpression())
+
+  /** KLL quantile sketch over a numeric column. */
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    col(KllSketchAgg(ex(c.cast(DoubleType)), k).toAggregateExpression())
+
+  // ----- scalar probes -----
+
+  def fnv1a_hash(c: Column, seed: Int = 0): Column = col(Fnv1aHash(ex(c), seed))
+
+  def bloom_might_contain(blob: Column, key: Column): Column = col(BloomMightContain(ex(blob), ex(key)))
+  def bloom_estimate_elements(blob: Column): Column = col(BloomEstimateElements(ex(blob)))
+  def bloom_elements_added(blob: Column): Column = col(BloomElementsAdded(ex(blob)))
+  def bloom_current_fpr(blob: Column): Column = col(BloomCurrentFpr(ex(blob)))
+  def bloom_bits_set(blob: Column): Column = col(BloomBitsSet(ex(blob)))
+  def bloom_to_hex(blob: Column): Column = col(BloomToHex(ex(blob)))
+  def bloom_from_hex(hex: Column): Column = col(BloomFromHex(ex(hex)))
+  def bloom_stats(blob: Column): Column = col(BloomStats(ex(blob)))
+  def bloom_union(a: Column, b: Column): Column = col(BloomUnionExpr(ex(a), ex(b)))
+  def bloom_intersect(a: Column, b: Column): Column = col(BloomIntersectExpr(ex(a), ex(b)))
+  def bloom_jaccard(a: Column, b: Column): Column = col(BloomJaccard(ex(a), ex(b)))
+
+  def cbf_count(blob: Column, key: Column): Column = col(CbfCount(ex(blob), ex(key)))
+
+  def hll_estimate(blob: Column): Column = col(HllEstimate(ex(blob)))
+  def hll_merge(a: Column, b: Column): Column = col(HllMergeExpr(ex(a), ex(b)))
+
+  def cms_query(blob: Column, key: Column): Column = col(CmsQuery(ex(blob), ex(key)))
+  def cms_total_count(blob: Column): Column = col(CmsTotalCount(ex(blob)))
+
+  def tdigest_quantile(blob: Column, q: Double): Column =
+    col(TDigestQuantile(ex(blob), Literal(q)))
+  def kll_quantile(blob: Column, q: Double): Column = col(KllQuantile(ex(blob), Literal(q)))
+  def kll_rank(blob: Column, x: Column): Column = col(KllRank(ex(blob), ex(x.cast(DoubleType))))
+
+  // ----- SQL registration -----
+
+  // SQL-side numeric inputs are cast to double like the Scala API does
+  // (a bigint column fed to kll_sketch should just work).
+  private def asDouble(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+
+  // SQL-side sketch params must be constants; fold them at resolution time
+  // (handles plain literals, decimal literals, and CAST-wrapped constants).
+  private def constVal(e: Expression, what: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(s"$what must be a constant, got $e")
+    e.eval(null)
+  }
+  private def intLit(e: Expression, what: String): Int = constVal(e, what) match {
+    case v: Int => v
+    case v: Long => v.toInt
+    case v: Short => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer constant, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = constVal(e, what) match {
+    case v: Int => v.toLong
+    case v: Long => v
+    case other => throw new IllegalArgumentException(s"$what must be a long constant, got $other")
+  }
+  private def doubleLit(e: Expression, what: String): Double = constVal(e, what) match {
+    case v: Double => v
+    case v: Float => v.toDouble
+    case v: org.apache.spark.sql.types.Decimal => v.toDouble
+    case v: Int => v.toDouble
+    case v: Long => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric constant, got $other")
+  }
+
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "bloom_sketch" -> ((es: Seq[Expression]) =>
+      BloomSketchAgg(es(0), longLit(es(1), "n"), doubleLit(es(2), "p").toFloat).toAggregateExpression()),
+    "counting_bloom_sketch" -> ((es: Seq[Expression]) =>
+      CountingBloomSketchAgg(es(0), longLit(es(1), "n"), doubleLit(es(2), "p").toFloat).toAggregateExpression()),
+    "hll_sketch" -> ((es: Seq[Expression]) =>
+      HllSketchAgg(es(0), if (es.length > 1) intLit(es(1), "precision") else 14).toAggregateExpression()),
+    "cms_sketch" -> ((es: Seq[Expression]) =>
+      CmsSketchAgg(es(0), doubleLit(es(1), "eps"), doubleLit(es(2), "delta")).toAggregateExpression()),
+    "tdigest_sketch" -> ((es: Seq[Expression]) =>
+      TDigestSketchAgg(asDouble(es(0)), if (es.length > 1) doubleLit(es(1), "compression") else 100.0).toAggregateExpression()),
+    "kll_sketch" -> ((es: Seq[Expression]) =>
+      KllSketchAgg(asDouble(es(0)), if (es.length > 1) intLit(es(1), "k") else 200).toAggregateExpression()),
+    "fnv1a_hash" -> ((es: Seq[Expression]) =>
+      Fnv1aHash(es(0), if (es.length > 1) intLit(es(1), "seed") else 0)),
+    "bloom_might_contain" -> ((es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
+    "bloom_estimate_elements" -> ((es: Seq[Expression]) => BloomEstimateElements(es(0))),
+    "bloom_elements_added" -> ((es: Seq[Expression]) => BloomElementsAdded(es(0))),
+    "bloom_current_fpr" -> ((es: Seq[Expression]) => BloomCurrentFpr(es(0))),
+    "bloom_bits_set" -> ((es: Seq[Expression]) => BloomBitsSet(es(0))),
+    "bloom_to_hex" -> ((es: Seq[Expression]) => BloomToHex(es(0))),
+    "bloom_from_hex" -> ((es: Seq[Expression]) => BloomFromHex(es(0))),
+    "bloom_stats" -> ((es: Seq[Expression]) => BloomStats(es(0))),
+    "bloom_union" -> ((es: Seq[Expression]) => BloomUnionExpr(es(0), es(1))),
+    "bloom_intersect" -> ((es: Seq[Expression]) => BloomIntersectExpr(es(0), es(1))),
+    "bloom_jaccard" -> ((es: Seq[Expression]) => BloomJaccard(es(0), es(1))),
+    "cbf_count" -> ((es: Seq[Expression]) => CbfCount(es(0), es(1))),
+    "hll_estimate" -> ((es: Seq[Expression]) => HllEstimate(es(0))),
+    "hll_merge" -> ((es: Seq[Expression]) => HllMergeExpr(es(0), es(1))),
+    "cms_query" -> ((es: Seq[Expression]) => CmsQuery(es(0), es(1))),
+    "cms_total_count" -> ((es: Seq[Expression]) => CmsTotalCount(es(0))),
+    "tdigest_quantile" -> ((es: Seq[Expression]) => TDigestQuantile(es(0), asDouble(es(1)))),
+    "kll_quantile" -> ((es: Seq[Expression]) => KllQuantile(es(0), asDouble(es(1)))),
+    "kll_rank" -> ((es: Seq[Expression]) => KllRank(es(0), asDouble(es(1)))))
+
+  /** Register all graft functions in a session's catalog for SQL use. */
+  def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** `SparkSessionExtensions` hook — for cluster deployment via
+  * `spark.sql.extensions=graft.GraftExtensions` (spark-submit path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    functions.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (es: Seq[Expression]) => builder(es)))
+    }
+  }
+}
