@@ -50,6 +50,15 @@ object functions {
   def kll_sketch(c: Column, k: Int = 200): Column =
     col(KllSketchAgg(ex(c.cast(DoubleType)), k).toAggregateExpression())
 
+  // ----- blob re-aggregation (stage 2 of salted / checkpointed builds) -----
+
+  def bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BloomOps).toAggregateExpression())
+  def counting_bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), CountingBloomOps).toAggregateExpression())
+  def hll_merge_agg(blob: Column): Column = col(SketchMergeAgg(ex(blob), HllOps).toAggregateExpression())
+  def cms_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), CmsOps).toAggregateExpression())
+  def tdigest_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), TDigestOps).toAggregateExpression())
+  def kll_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), KllOps).toAggregateExpression())
+
   // ----- scalar probes -----
 
   def fnv1a_hash(c: Column, seed: Int = 0): Column = col(Fnv1aHash(ex(c), seed))
@@ -126,6 +135,12 @@ object functions {
       TDigestSketchAgg(asDouble(es(0)), if (es.length > 1) doubleLit(es(1), "compression") else 100.0).toAggregateExpression()),
     "kll_sketch" -> ((es: Seq[Expression]) =>
       KllSketchAgg(asDouble(es(0)), if (es.length > 1) intLit(es(1), "k") else 200).toAggregateExpression()),
+    "bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), BloomOps).toAggregateExpression()),
+    "counting_bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), CountingBloomOps).toAggregateExpression()),
+    "hll_merge_agg" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), HllOps).toAggregateExpression()),
+    "cms_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), CmsOps).toAggregateExpression()),
+    "tdigest_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), TDigestOps).toAggregateExpression()),
+    "kll_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), KllOps).toAggregateExpression()),
     "fnv1a_hash" -> ((es: Seq[Expression]) =>
       Fnv1aHash(es(0), if (es.length > 1) intLit(es(1), "seed") else 0)),
     "bloom_might_contain" -> ((es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
