@@ -1,0 +1,149 @@
+package graft.expr
+
+import graft.core.Fnv
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row text-sketch expressions for near-duplicate detection at corpus
+  * scale (Broder 1997 minhash/shingling; Charikar 2002 simhash; the LSH
+  * banding scheme of Leskovec-Rajaraman-Ullman, "Mining of Massive
+  * Datasets" ch.3). Hashing derives from the library's FNV-1a family
+  * (reference `bloom.c:499-508`) finalized with splitmix64.
+  */
+private[graft] object TextShingles {
+  /** Whitespace tokens (the library-wide tokenizer contract). */
+  def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Hashes of word w-shingles (w consecutive tokens), one pass. */
+  def shingleHashes(s: String, w: Int): Array[Long] = {
+    val ts = tokens(s)
+    if (ts.length < w) {
+      if (ts.isEmpty) Array.empty
+      else Array(Fnv.splitmix64(Fnv.fnv1a(ts.mkString(" "), 0)))
+    } else {
+      val out = new Array[Long](ts.length - w + 1)
+      var i = 0
+      while (i + w <= ts.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < w) { if (j > 0) sb.append(' '); sb.append(ts(i + j)); j += 1 }
+        out(i) = Fnv.splitmix64(Fnv.fnv1a(sb.toString, 0))
+        i += 1
+      }
+      out
+    }
+  }
+}
+
+/** `minhash_signature(text, k, shingleWidth)` → `array<bigint>` of k
+  * minhash values over word shingles. Signature agreement fraction is an
+  * unbiased estimator of shingle-set Jaccard similarity (Broder 1997).
+  * The k hash functions are splitmix64 mixes of the shingle hash with k
+  * fixed odd seeds — deterministic across runs and partitionings.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  require(numHashes > 0 && numHashes <= 1024, s"numHashes in (0,1024], got $numHashes")
+  require(shingleWidth > 0, s"shingleWidth > 0, got $shingleWidth")
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.string)
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => Fnv.splitmix64(0x5EED0000L + 2L * i + 1L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = TextShingles.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleWidth)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val h = Fnv.splitmix64(hs(j) ^ seeds(i))
+        if (h < mn) mn = h
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** `simhash64(text)` → 64-bit simhash over whitespace tokens (Charikar
+  * 2002): each token's hash votes ±1 per bit position weighted by its term
+  * frequency; the sign vector is the fingerprint. Near-duplicates have
+  * small Hamming distance.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.string)
+
+  override def nullSafeEval(v: Any): Any = {
+    val ts = TextShingles.tokens(v.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val h = Fnv.splitmix64(Fnv.fnv1a(ts(i), 0))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `hamming64(a, b)` — Hamming distance between two 64-bit fingerprints. */
+case class Hamming64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "hamming64"
+  override def dataType: DataType = IntegerType
+  override protected def expectedTypes = Seq(Seq(LongType), Seq(LongType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 = copy(l, r)
+}
+
+/** `doc_fingerprint(text)` — 64-bit content fingerprint: FNV-1a over the
+  * whitespace-normalized text (rolling over tokens), splitmix-finalized.
+  * Equal fingerprints ⇔ equal normalized content (up to hash collision).
+  */
+case class DocFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "doc_fingerprint"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.string)
+  override def nullSafeEval(v: Any): Any = {
+    val ts = TextShingles.tokens(v.asInstanceOf[UTF8String].toString)
+    var h = Fnv.OffsetBasis
+    var i = 0
+    while (i < ts.length) {
+      val bytes = ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < bytes.length) { h ^= (bytes(j) & 0xffL); h *= Fnv.Prime; j += 1 }
+      h ^= ' '.toLong; h *= Fnv.Prime // token boundary
+      i += 1
+    }
+    Fnv.splitmix64(h)
+  }
+  override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
+}

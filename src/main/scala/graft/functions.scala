@@ -88,6 +88,14 @@ object functions {
   def kll_quantile(blob: Column, q: Double): Column = col(KllQuantile(ex(blob), Literal(q)))
   def kll_rank(blob: Column, x: Column): Column = col(KllRank(ex(blob), ex(x.cast(DoubleType))))
 
+  // ----- text sketches (dedup / fingerprinting) -----
+
+  def minhash_signature(c: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column =
+    col(MinHashSignature(ex(c), numHashes, shingleWidth))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
+  def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
+
   // ----- SQL registration -----
 
   // SQL-side numeric inputs are cast to double like the Scala API does

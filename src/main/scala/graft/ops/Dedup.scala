@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale notes (10^12-row design):
+  *  - exact dedup is one hash-shuffle on the fingerprint (64-bit + full
+  *    text only for in-bucket confirmation);
+  *  - minhash-LSH cost is rows × signature (cheap, map-side) + a shuffle
+  *    per band keyed on (band, bandHash) — candidate pairs are generated
+  *    only within buckets, never via cross join;
+  *  - simhash uses the pigeonhole banding trick: distance ≤ 3 of 64 bits ⇒
+  *    at least one of 4 16-bit chunks is equal, so an equi-join on chunks
+  *    finds all candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content fingerprint: one row per distinct
+    * content, with the kept (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(doc_fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows surviving exact dedup (keep the smallest id per content). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * Signature of `numHashes` minhashes split into `bands` bands of
+    * `numHashes/bands` rows each; docs sharing any band bucket become a
+    * candidate pair; pairs are then scored by full-signature agreement
+    * (estimated Jaccard) and filtered at `threshold`.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                   threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), minhash_signature(col(textCol), numHashes, shingleWidth).as("sig"))
+    // one row per (doc, band): bucket key = hash of the band's slice
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ maxDistance (≤ 15),
+    * via 4×16-bit chunk banding (pigeonhole: any pair within distance 3
+    * shares at least one exact chunk; for larger distances recall decays —
+    * documented trade, standard practice).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val h = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunked = h.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ck")
+    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact character n-gram Jaccard similar pairs, fully relational (no
+    * per-row sketch): shingle → explode → self-equi-join → integer
+    * cross-multiplied threshold. Shingles are `width` chars every `step`
+    * chars, so the shuffle volume is |text|/step rows per doc.
+    *
+    * Returns (id_a, id_b, common, uni) where common/uni >= threshold,
+    * integer-exact (same arithmetic is expressible in any SQL engine —
+    * the DuckDB oracle runs this verbatim).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        width: Int = 16, step: Int = 4,
+                        thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t) - ${width - 1}, 1), $step), p -> substring(t, p, $width))"))).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("common"))
+      .filter(col("common") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("common"), col("uni"))
+  }
+
+  /** Embedding near-duplicate pairs by cosine ≥ threshold, LSH-bucketed:
+    * random-hyperplane sign bits (Charikar 2002) bucket the vectors; only
+    * same-bucket pairs are compared exactly. `planes` controls the
+    * recall/cost trade (more planes = smaller buckets = cheaper + lower
+    * recall for borderline pairs).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, planes: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        Similarity.cosineColumn(col("x.v"), col("y.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.core.Fnv
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline (O(Q·N)
+  * — fine for small query sets, exact answers). The scale path buckets by
+  * random-hyperplane LSH so each query only scans its bucket; recall<1 is
+  * the documented trade. All arithmetic is in SQL expressions (codegen'd,
+  * no UDFs), so Catalyst prunes to the two needed columns at the scan.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<float/double>` columns, computed in
+    * double via `zip_with` + `aggregate` (both codegen-friendly built-ins).
+    */
+  def cosineColumn(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Integer-quantized dot product: `sum(floor(a_i*1000)*floor(b_i*1000))`.
+    * Bit-exact across engines (floor of an exact float→double product), so
+    * oracle comparisons hash-match — used by the verification queries.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => floor(x.cast("double") * 1000d).cast("long") * floor(y.cast("double") * 1000d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket (Charikar 2002): sign bit per plane,
+    * planes derived deterministically from (seed, planeIdx, dimIdx) via
+    * splitmix64 — reproducible across runs, no stored model.
+    */
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      // pseudo-random ±1 plane: component sign for dim i from splitmix64
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * signOf(p, i, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ±1.0 pseudo-random sign for (plane, dim) — a Column expression on the
+    * dim index so the whole bucket computation stays inside codegen.
+    */
+  private def signOf(plane: Int, dimIdx: Column, seed: Long): Column = {
+    // splitmix-ish mix expressible with xxhash64 over (seed, plane, dim)
+    when(pmod(xxhash64(lit(seed), lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Exact brute-force cosine top-k: every query row against every corpus
+    * row. Correctness baseline; cost O(Q·N) — keep Q small or use
+    * [[lshTopK]]. Broadcast the query side (it is the small side).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Multi-table LSH approximate top-k (standard OR-amplification:
+    * `tables` independent bucketings; a corpus row is a candidate if it
+    * collides with the query in ANY table). Per-table bucket count is
+    * `2^planes`; recall rises with `tables`, cost with both.
+    * Candidates are deduped before exact scoring, so each (query,
+    * neighbor) pair is scored once.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    def bucketsOf(v: Column): Column = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), hyperplaneBucket(v, planes, seed + 7919L * t).as("b"))): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      explode(bucketsOf(col(vecCol))).as("bk"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(bucketsOf(col(vecCol))).as("bk"))
+    val candidates = c.join(broadcast(q), Seq("bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
