@@ -1,13 +1,562 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.SketchPipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data ops), each paired with an `oracleSql`
+  * that DuckDB runs over the same parquet tables.
+  *
+  * Oracle-compare design rules (the driver hash-compares values after
+  * sorting columns by name):
+  *  - aggregate outputs are integer-exact (BIGINT counts, integral-double
+  *    sums cast to BIGINT, cents via round(x*100)) — never order-dependent
+  *    float accumulations;
+  *  - sketch estimates are verified as `ok` BOOLEAN columns (within the
+  *    algorithm's published bound vs the exact value that the oracle also
+  *    computes) anchored by exact BIGINT columns, since DuckDB cannot
+  *    evaluate the sketches themselves;
+  *  - reference golden values (FNV-1a hashes, export MD5/size, hex
+  *    prefix/suffix, estimator goldens from `tests/testsuite.c`) appear as
+  *    literals on the oracle side — they come from the C reference suite,
+  *    not from this library, so the comparison is independent;
+  *  - both sides ORDER BY the key columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ shifted copies of every 10th doc — deterministic duplicate
+    * injection used by the dedup queries (expressed identically in the
+    * oracle SQL, so both engines see the same corpus).
+    */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+  private val dupDocsSql =
+    """d AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Flagship: per-language HLL distinct-doc estimates over the sf0.001
+    * documents table (scan → prune → partial agg → shuffle → merge → eval).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = T(spark, "/root/testdata/sf0.001", "documents")
+    d.groupBy(col("lang"))
+      .agg(hll_sketch(col("doc_id").cast("string"), 12).as("sk"),
+        count(lit(1)).as("docs"))
+      .select(col("lang"), col("docs"), hll_estimate(col("sk")).as("distinct_est"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational composition over the sketch-library session ---
+    "q01_pricing_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Bloom-accelerated semi-join: sketch the small (filtered orders) side,
+    // broadcast the blob as a pre-filter on lineitem, exact semi-join after
+    // — final result is exact regardless of Bloom false positives.
+    "q02_bloom_semijoin" -> ((s, dir) => {
+      val hi = T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      val blob = hi.agg(bloom_sketch(col("o_orderkey").cast("string"), 100000L, 0.01f))
+        .head.getAs[Array[Byte]](0)
+      val li = T(s, dir, "lineitem")
+      li.filter(bloom_might_contain(lit(blob), col("l_orderkey").cast("string")))
+        .join(hi.select(col("o_orderkey")), li("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- hashing layer: reference goldens (testsuite.c:92-96) ---
+    "q03_fnv_golden" -> ((s, _) => {
+      (0 until 5).map { i =>
+        s.range(1).select(lit("foo").as("key"), lit(i).as("seed"),
+          fnv1a_hash(lit("foo"), i).as("hash"))
+      }.reduce(_ unionAll _).orderBy(col("seed"))
+    }),
+
+    // --- serde: byte-compat with the C library (testsuite.c:410-425,526-547)
+    "q04_bloom_golden_serde" -> ((s, _) => {
+      val blob = s.range(0, 5000).select(col("id").cast("string").as("k"))
+        .agg(bloom_sketch(col("k"), 50000L, 0.01f)).head.getAs[Array[Byte]](0)
+      s.range(1)
+        .select(lit(blob).as("b"), bloom_to_hex(lit(blob)).as("hex"))
+        .select(
+          md5(col("b")).as("md5_hex"),
+          lit(blob.length).as("export_size"),
+          length(col("hex")).cast("int").as("hex_len"),
+          substring(col("hex"), 1, 80).as("hex_head"),
+          substring(col("hex"), -80, 80).as("hex_tail"),
+          bloom_elements_added(bloom_from_hex(col("hex"))).as("elements_added"))
+    }),
+
+    // --- HLL accuracy vs exact distinct (bound: 3σ of 1.04/√2^14 ≈ 2.4%) ---
+    "q05_hll_accuracy" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(hll_estimate(col("sk")) - col("exact_distinct")).cast("double")
+            <= lit(0.03) * col("exact_distinct").cast("double")).as("ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- CMS accuracy: exact ≤ est ≤ exact + eps·N w.p. 1-δ ---
+    "q06_cms_accuracy" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+      val n = ord.count()
+      val blob = ord.agg(cms_sketch(col("o_orderpriority"), 0.001, 0.01))
+        .head.getAs[Array[Byte]](0)
+      val slack = math.ceil(0.001 * n).toLong
+      ord.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"), col("cnt"),
+          (cms_query(lit(blob), col("o_orderpriority")) >= col("cnt") &&
+            cms_query(lit(blob), col("o_orderpriority")) <= col("cnt") + lit(slack)).as("ok"),
+          (cms_total_count(lit(blob)) === lit(n)).as("total_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- quantile sketches vs exact ranks ---
+    "q07_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val x = T(s, dir, "lineitem").select(col("l_extendedprice").as("x")).cache()
+      val agg = x.agg(tdigest_sketch(col("x"), 100.0).as("td"),
+        kll_sketch(col("x"), 200).as("kl"), count(lit(1)).as("n")).head
+      val (td, kl, n) = (agg.getAs[Array[Byte]]("td"), agg.getAs[Array[Byte]]("kl"), agg.getAs[Long]("n"))
+      val rows = Seq(0.1, 0.5, 0.9, 0.99).map { q =>
+        val est = s.range(1).select(
+          tdigest_quantile(lit(td), q).as("tq"), kll_quantile(lit(kl), q).as("kq")).head
+        val (tq, kq) = (est.getAs[Double]("tq"), est.getAs[Double]("kq"))
+        def rankOf(v: Double): Double = x.filter(col("x") <= v).count.toDouble / n
+        val krank = s.range(1).select(kll_rank(lit(kl), lit(kq)).as("r")).head.getAs[Double]("r")
+        (q, n, math.abs(rankOf(tq) - q) <= 0.02, math.abs(rankOf(kq) - q) <= 0.025,
+          math.abs(krank - rankOf(kq)) <= 0.025)
+      }
+      x.unpersist()
+      rows.toDF("q", "n", "ok_tdigest", "ok_kll", "ok_kll_rank").orderBy(col("q"))
+    }),
+
+    // --- counting Bloom: per-key counter ≥ exact frequency ---
+    "q08_counting_bloom" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+      val blob = ord.agg(counting_bloom_sketch(col("o_orderpriority"), 1000L, 0.01f))
+        .head.getAs[Array[Byte]](0)
+      ord.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"), col("cnt"),
+          (cbf_count(lit(blob), col("o_orderpriority")).cast("long") >= col("cnt")).as("ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // --- set ops: union/intersect/jaccard + zero-false-negative probes ---
+    "q09_bloom_setops" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"), (col("l_orderkey") % 2).as("par"))
+      val evens = li.filter(col("par") === 0)
+      val odds = li.filter(col("par") === 1)
+      def build(df: DataFrame): Array[Byte] =
+        df.agg(bloom_sketch(col("k"), 100000L, 0.01f)).head.getAs[Array[Byte]](0)
+      val (a, b, all) = (build(evens), build(odds), build(li))
+      val u = s.range(1).select(bloom_union(lit(a), lit(b)).as("u")).head.getAs[Array[Byte]]("u")
+      val evCnt = evens.select(col("k")).distinct.count
+      val odCnt = odds.select(col("k")).distinct.count
+      val fnA = evens.filter(!bloom_might_contain(lit(a), col("k"))).count
+      val fnU = li.filter(!bloom_might_contain(lit(u), col("k"))).count
+      val jSelf = s.range(1).select(bloom_jaccard(lit(a), lit(a)).as("j")).head.getAs[Double]("j")
+      val bitsEq = u.dropRight(20).sameElements(all.dropRight(20))
+      import s.implicits._
+      Seq((evCnt, odCnt, jSelf, fnA, fnU, bitsEq))
+        .toDF("evens", "odds", "jaccard_self", "fn_a", "fn_union", "union_bits_equal")
+    }),
+
+    // --- exact dedup by 64-bit content fingerprint ---
+    "q10_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(dupDocs(s, dir), "doc_id", "text")
+        .agg(count(lit(1)).as("groups"),
+          sum(when(col("dup_count") > 1, 1L).otherwise(0L)).cast("long").as("dup_groups"),
+          sum(col("dup_count")).cast("long").as("total"))
+    }),
+
+    // --- MinHash-LSH candidates, exact-verified (equals SQL self-join) ---
+    "q11_dedup_minhash" -> ((s, dir) => {
+      val d = dupDocs(s, dir)
+      val cand = Dedup.minHashPairs(d, "doc_id", "text", 64, 16, 3, 0.9)
+      cand.join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- SimHash candidates (hamming ≤ 3), exact-verified ---
+    "q12_dedup_simhash" -> ((s, dir) => {
+      val d = dupDocs(s, dir)
+      val cand = Dedup.simHashPairs(d, "doc_id", "text", 3)
+      cand.join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- n-gram Jaccard pairs: integer-exact, oracle runs it verbatim ---
+    "q13_dedup_ngram" -> ((s, dir) => {
+      val d = dupDocs(s, dir).filter(col("doc_id") % 5 === 0)
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 16, 4, 1, 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- brute-force ANN baseline: integer-quantized dot, exact top-3 ---
+    "q14_embed_knn" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.quantizedDot(col("qv"), col("cv")).as("qdot"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- LSH ANN vs brute-force: recall property + exact anchors ---
+    "q15_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10, 4, 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val total = brute.count
+      val hits = lsh.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count
+      brute.unpersist()
+      Seq((q.count, 10, total, hits.toDouble / total >= 0.6))
+        .toDF("queries", "k", "brute_pairs", "recall_ok")
+    }),
+
+    // --- text analysis: token counts (whitespace + subword estimate) ---
+    "q16_text_stats" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        TextOps.subwordTokenEstimate(col("text")).cast("long").as("subword_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- language-ID voting, mirrored verbatim by the oracle SQL ---
+    "q17_langid" -> ((s, dir) => {
+      val sfx = TextOps.Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        (l, ws.take(3).mkString(" "))
+      }
+      val sfxCol = sfx.foldLeft(lit("")) { case (acc, (l, w)) =>
+        when(col("lang") === l, lit(w)).otherwise(acc)
+      }
+      T(s, dir, "documents")
+        .withColumn("t2", concat(col("text"), lit(" "), sfxCol))
+        .select(col("doc_id"), TextOps.langId(col("t2")).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- quality scoring, mirrored verbatim by the oracle SQL ---
+    "q18_quality" -> ((s, dir) => {
+      val st = TextOps.qualityStats(col("text"))
+      T(s, dir, "documents").select(col("doc_id"),
+        st.getField("chars").cast("long").as("chars"),
+        st.getField("tokens").cast("long").as("tokens"),
+        st.getField("mean_token_len").as("mean_token_len"),
+        st.getField("punct_ratio").as("punct_ratio"),
+        st.getField("digit_ratio").as("digit_ratio"),
+        st.getField("upper_ratio").as("upper_ratio"),
+        TextOps.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- salted two-level aggregation == unsalted (hot-key skew defuse) ---
+    "q19_salted_group" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("string").as("k"))
+      val salted = SketchPipeline.saltedGroupBy(d, "lang", "k", 8,
+        c => bloom_sketch(c, 10000L, 0.01f), bloom_merge)
+      val unsalted = d.groupBy(col("lang"))
+        .agg(bloom_sketch(col("k"), 10000L, 0.01f).as("direct"))
+      val probes = d.join(salted, "lang").groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(bloom_might_contain(col("sketch"), col("k")), 0L).otherwise(1L)).as("fn"))
+      salted.join(unsalted, "lang").join(probes, "lang")
+        .select(col("lang"), col("cnt"), col("fn"),
+          (bloom_to_hex(col("sketch")) === bloom_to_hex(col("direct"))).as("bits_equal"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- checkpoint/resume: kill-mid-job replay equals the direct build ---
+    "q20_checkpoint_resume" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      val src = s"$tmp/src"
+      T(s, dir, "documents").select(col("doc_id").cast("string").as("k"))
+        .repartition(8).write.mode("overwrite").parquet(src)
+      val files = new java.io.File(src).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+      val direct = s.read.parquet(files: _*)
+        .agg(bloom_sketch(col("k"), 10000L, 0.01f)).head.getAs[Array[Byte]](0)
+      val failed = scala.util.Try(SketchPipeline.buildBloomCheckpointed(
+        s, files, "k", 10000L, 0.01f, s"$tmp/ckpt", 4, simulateFailureAfter = 2))
+      val resumed = SketchPipeline.buildBloomCheckpointed(
+        s, files, "k", 10000L, 0.01f, s"$tmp/ckpt", 4)
+      val keys = s.read.parquet(files: _*)
+      val fn = keys.filter(!bloom_might_contain(lit(resumed), col("k"))).count
+      Seq((keys.count, 4, failed.isFailure, resumed.sameElements(direct), fn))
+        .toDF("keys", "groups", "first_run_killed", "resumed_equals_direct", "fn")
+    }),
+
+    // --- parallelism invariance (port of bloom_multi_thread.c:64-78) ---
+    "q21_parallelism_invariance" -> ((s, dir) => {
+      import s.implicits._
+      val li = T(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+      def blooms(parts: Int) = li.repartition(parts)
+        .agg(bloom_sketch(col("k"), 100000L, 0.01f).as("b"), hll_sketch(col("k"), 14).as("h")).head
+      val (r2, r32) = (blooms(2), blooms(32))
+      Seq((li.count,
+        r2.getAs[Array[Byte]]("b").sameElements(r32.getAs[Array[Byte]]("b")),
+        r2.getAs[Array[Byte]]("h").sameElements(r32.getAs[Array[Byte]]("h"))))
+        .toDF("n_rows", "bloom_equal", "hll_equal")
+    }),
+
+    // --- multimodal plumbing: decode-stub features + frame sampling ---
+    "q22_multimodal" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, 200, 8)
+      val feats = Multimodal.extractFeatures(media, 64).cache()
+      val byType = feats.groupBy(col("media_type")).count.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val decoded = feats.filter(col("decode_ok") && col("feature_dim") === 64).count
+      val frames = Multimodal.sampleFrames(media, 500, 16).count
+      feats.unpersist()
+      Seq((200L, byType("image"), byType("audio"), byType("video"), decoded, frames))
+        .toDF("n", "images", "audio", "video", "decoded", "frames")
+    }),
+
+    // --- estimator goldens (testsuite.c:186-202,291-347) ---
+    "q23_bloom_estimators" -> ((s, _) => {
+      import s.implicits._
+      def keys(a: Long, b: Long) = s.range(a, b).select(col("id").cast("string").as("k"))
+      def build(df: DataFrame): Array[Byte] =
+        df.agg(bloom_sketch(col("k"), 50000L, 0.01f)).head.getAs[Array[Byte]](0)
+      val b5k = build(keys(0, 5000))
+      val b10k = build(keys(0, 10000))
+      val bA5k = build(keys(0, 5000).unionAll(Seq("a").toDF("k")))
+      val b50k = build(keys(0, 50000))
+      val stats = s.range(1).select(
+        bloom_estimate_elements(lit(b5k)).as("e5"),
+        bloom_estimate_elements(lit(b10k)).as("e10"),
+        bloom_bits_set(lit(bA5k)).as("bs"),
+        bloom_current_fpr(lit(b50k)).as("fpr")).head
+      val fp = keys(50000, 51000).filter(bloom_might_contain(lit(b50k), col("k"))).count
+      val fn = keys(0, 50000).filter(!bloom_might_contain(lit(b50k), col("k"))).count
+      Seq((stats.getAs[Long]("e5"), stats.getAs[Long]("e10"), stats.getAs[Long]("bs"),
+        stats.getAs[Double]("fpr") > 0.0099 && stats.getAs[Double]("fpr") < 0.0101, fp, fn))
+        .toDF("est_5000", "est_10000", "bits_set", "fpr_ok", "fp_count", "fn")
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def langidOracle: String = {
+    val langs = TextOps.Stopwords.toSeq.sortBy(_._1)
+    val sfxCase = langs.map { case (l, ws) =>
+      s"WHEN '$l' THEN '${ws.take(3).mkString(" ")}'"
+    }.mkString("CASE lang ", " ", " ELSE '' END")
+    val scoreSelects = langs.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$l' AS lang, len(list_intersect(list_distinct(w), $list)) AS score FROM words"
+    }.mkString("\n UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, concat(text, ' ', $sfxCase) AS t2 FROM documents),
+       |words AS (SELECT doc_id, regexp_split_to_array(lower(trim(t2)), '\\s+') AS w FROM base),
+       |scores AS ($scoreSelects),
+       |best AS (SELECT doc_id, lang, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
+       |SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE lang END AS pred
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_fnv_golden" ->
+      """SELECT 'foo' AS key, 0 AS seed, CAST(-2543842089295555209 AS BIGINT) AS hash
+        |UNION ALL SELECT 'foo', 1, CAST(-4688761678894751092 AS BIGINT)
+        |UNION ALL SELECT 'foo', 2, CAST(-4421225213491991699 AS BIGINT)
+        |UNION ALL SELECT 'foo', 3, CAST(5646210032526140290 AS BIGINT)
+        |UNION ALL SELECT 'foo', 4, CAST(6127913770875964707 AS BIGINT)
+        |ORDER BY seed""".stripMargin,
+
+    "q04_bloom_golden_serde" ->
+      """SELECT 'dff430adaf230fe3579d658c1fd3b457' AS md5_hex, 59927 AS export_size,
+        | 119854 AS hex_len,
+        | '80202010000000008008068000001000800800000200800080220000200000000000002002000002' AS hex_head,
+        | '1000000004021000000200601000000040020100000000000000c35000000000000013883c23d70a' AS hex_tail,
+        | CAST(5000 AS BIGINT) AS elements_added""".stripMargin,
+
+    "q05_hll_accuracy" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, true AS ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_cms_accuracy" ->
+      """SELECT o_orderpriority, count(*) AS cnt, true AS ok, true AS total_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_quantiles" ->
+      """SELECT CAST(q AS DOUBLE) AS q, (SELECT count(*) FROM lineitem) AS n,
+        | true AS ok_tdigest, true AS ok_kll, true AS ok_kll_rank
+        |FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q) ORDER BY q""".stripMargin,
+
+    "q08_counting_bloom" ->
+      """SELECT o_orderpriority, count(*) AS cnt, true AS ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_bloom_setops" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey % 2 = 0) AS BIGINT) AS evens,
+        | CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey % 2 = 1) AS BIGINT) AS odds,
+        | CAST(1.0 AS DOUBLE) AS jaccard_self, CAST(0 AS BIGINT) AS fn_a,
+        | CAST(0 AS BIGINT) AS fn_union, true AS union_bits_equal
+        |FROM lineitem""".stripMargin,
+
+    "q10_dedup_exact" ->
+      s"""WITH $dupDocsSql,
+         |g AS (SELECT text, count(*) AS c FROM d GROUP BY 1)
+         |SELECT count(*) AS groups,
+         | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+         | CAST(sum(c) AS BIGINT) AS total FROM g""".stripMargin,
+
+    "q11_dedup_minhash" ->
+      s"""WITH $dupDocsSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a JOIN d b
+         |ON a.text = b.text AND a.doc_id < b.doc_id ORDER BY 1, 2""".stripMargin,
+
+    "q12_dedup_simhash" ->
+      s"""WITH $dupDocsSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a JOIN d b
+         |ON a.text = b.text AND a.doc_id < b.doc_id ORDER BY 1, 2""".stripMargin,
+
+    "q13_dedup_ngram" ->
+      s"""WITH $dupDocsSql,
+         |dd AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+         |sh AS (SELECT doc_id AS id,
+         |  unnest(list_distinct(list_transform(range(1, greatest(length(text) - 15, 1) + 1, 4),
+         |    p -> substring(text, CAST(p AS INT), 16)))) AS sh FROM dd),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+         | CAST(sa.n + sb.n - common AS BIGINT) AS uni
+         |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE common * 2 >= (sa.n + sb.n - common) * 1 ORDER BY 1, 2""".stripMargin,
+
+    "q14_embed_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+        |    CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qdot
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, qdot, CAST(rank AS INT) AS rank FROM
+        | (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q15_lsh_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS queries, 10 AS k,
+        | CAST(count(*) * 10 AS BIGINT) AS brute_pairs, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "q16_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tokens,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE coalesce(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |     w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))), 0) END AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_langid" -> langidOracle,
+
+    "q18_quality" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS tt, text FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(tt) AS BIGINT) AS chars,
+        |  CAST(CASE WHEN length(tt) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(tt, '\s+')) END AS BIGINT) AS tokens,
+        |  CAST(length(tt) AS DOUBLE) AS lend,
+        |  greatest(CAST(length(tt) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS safelen,
+        |  CAST(length(regexp_replace(tt, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(regexp_replace(tt, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+        |  CAST(length(regexp_replace(tt, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper
+        | FROM t),
+        |r AS (SELECT doc_id, chars, tokens,
+        |  lend / greatest(CAST(tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mean_token_len,
+        |  punct / safelen AS punct_ratio, digit / safelen AS digit_ratio,
+        |  upper / safelen AS upper_ratio FROM m)
+        |SELECT doc_id, chars, tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio,
+        | greatest(CAST(0.0 AS DOUBLE),
+        |   (CASE WHEN tokens < 5 THEN CAST(0.2 AS DOUBLE)
+        |         WHEN tokens > 10000 THEN CAST(0.5 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END)
+        |   * (CAST(1.0 AS DOUBLE)
+        |      - least(punct_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7
+        |      - least(digit_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7)) AS score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q19_salted_group" ->
+      """SELECT lang, count(*) AS cnt, CAST(0 AS BIGINT) AS fn, true AS bits_equal
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_checkpoint_resume" ->
+      """SELECT CAST(count(*) AS BIGINT) AS keys, 4 AS groups, true AS first_run_killed,
+        | true AS resumed_equals_direct, CAST(0 AS BIGINT) AS fn FROM documents""".stripMargin,
+
+    "q21_parallelism_invariance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS bloom_equal, true AS hll_equal
+        |FROM lineitem""".stripMargin,
+
+    "q22_multimodal" ->
+      """SELECT CAST(200 AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE i % 3 = 0) AS BIGINT) AS images,
+        | CAST(count(*) FILTER (WHERE i % 3 = 1) AS BIGINT) AS audio,
+        | CAST(count(*) FILTER (WHERE i % 3 = 2) AS BIGINT) AS video,
+        | CAST(200 AS BIGINT) AS decoded,
+        | CAST(sum(CASE WHEN i % 3 = 2 THEN least((1000 + i % 60000) // 500, 64) ELSE 0 END) AS BIGINT) AS frames
+        |FROM range(200) t(i)""".stripMargin,
+
+    "q23_bloom_estimators" ->
+      """SELECT CAST(4872 AS BIGINT) AS est_5000, CAST(9792 AS BIGINT) AS est_10000,
+        | CAST(32931 AS BIGINT) AS bits_set, true AS fpr_ok,
+        | CAST(5 AS BIGINT) AS fp_count, CAST(0 AS BIGINT) AS fn""".stripMargin)
 }

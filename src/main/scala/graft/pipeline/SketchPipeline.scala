@@ -125,6 +125,9 @@ object SketchPipeline {
         processed += 1
       }
     }
-    mergeParts(spark.read.parquet(s"$checkpointDir/group=*"))
+    // explicit per-group paths (not a glob): robust against partial/foreign
+    // dirs under the checkpoint root
+    val groupDirs = groups.map { case (gid, _) => s"$checkpointDir/group=$gid" }
+    mergeParts(spark.read.parquet(groupDirs: _*))
   }
 }
