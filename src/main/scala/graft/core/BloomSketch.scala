@@ -86,17 +86,20 @@ final class BloomSketch private (
     _elementsAdded = 0
   }
 
+  // Unaligned little-endian 64-bit window over a byte array (HotSpot
+  // compiles HeapByteBuffer.get/putLong to single unaligned loads/stores),
+  // so the hot set-op loops below run word-wise, not byte-wise — the bit
+  // LAYOUT stays the reference's LSB-first byte array; only the stride of
+  // the loops changes.
+  @inline private def leView(a: Array[Byte]): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
   def countSetBits: Long = {
+    val va = leView(bits)
     var res = 0L
     var i = 0
-    // whole 8-byte words via bitCount, tail byte-wise
-    while (i + 8 <= bits.length) {
-      var w = 0L
-      var j = 0
-      while (j < 8) { w |= (bits(i + j) & 0xffL) << (8 * j); j += 1 }
-      res += java.lang.Long.bitCount(w)
-      i += 8
-    }
+    val n8 = bits.length & ~7
+    while (i < n8) { res += java.lang.Long.bitCount(va.getLong(i)); i += 8 }
     while (i < bits.length) { res += Integer.bitCount(bits(i) & 0xff); i += 1 }
     res
   }
@@ -129,7 +132,11 @@ final class BloomSketch private (
     */
   def mergeInPlace(other: BloomSketch): BloomSketch = {
     requireCompatible(other)
+    val va = leView(bits)
+    val vb = leView(other.bits)
     var i = 0
+    val n8 = bits.length & ~7
+    while (i < n8) { va.putLong(i, va.getLong(i) | vb.getLong(i)); i += 8 }
     while (i < bits.length) { bits(i) = (bits(i) | other.bits(i)).toByte; i += 1 }
     _elementsAdded += other._elementsAdded
     this
@@ -139,7 +146,11 @@ final class BloomSketch private (
   def union(other: BloomSketch): BloomSketch = {
     requireCompatible(other)
     val res = copy()
+    val vr = leView(res.bits)
+    val vb = leView(other.bits)
     var i = 0
+    val n8 = bits.length & ~7
+    while (i < n8) { vr.putLong(i, vr.getLong(i) | vb.getLong(i)); i += 8 }
     while (i < bits.length) { res.bits(i) = (bits(i) | other.bits(i)).toByte; i += 1 }
     res.setElementsToEstimated()
     res
@@ -149,7 +160,11 @@ final class BloomSketch private (
   def intersect(other: BloomSketch): BloomSketch = {
     requireCompatible(other)
     val res = copy()
+    val vr = leView(res.bits)
+    val vb = leView(other.bits)
     var i = 0
+    val n8 = bits.length & ~7
+    while (i < n8) { vr.putLong(i, vr.getLong(i) & vb.getLong(i)); i += 8 }
     while (i < bits.length) { res.bits(i) = (bits(i) & other.bits(i)).toByte; i += 1 }
     res.setElementsToEstimated()
     res
@@ -157,16 +172,24 @@ final class BloomSketch private (
 
   def countUnionBitsSet(other: BloomSketch): Long = {
     requireCompatible(other)
+    val va = leView(bits)
+    val vb = leView(other.bits)
     var res = 0L
     var i = 0
+    val n8 = bits.length & ~7
+    while (i < n8) { res += java.lang.Long.bitCount(va.getLong(i) | vb.getLong(i)); i += 8 }
     while (i < bits.length) { res += Integer.bitCount((bits(i) | other.bits(i)) & 0xff); i += 1 }
     res
   }
 
   def countIntersectionBitsSet(other: BloomSketch): Long = {
     requireCompatible(other)
+    val va = leView(bits)
+    val vb = leView(other.bits)
     var res = 0L
     var i = 0
+    val n8 = bits.length & ~7
+    while (i < n8) { res += java.lang.Long.bitCount(va.getLong(i) & vb.getLong(i)); i += 8 }
     while (i < bits.length) { res += Integer.bitCount((bits(i) & other.bits(i)) & 0xff); i += 1 }
     res
   }
