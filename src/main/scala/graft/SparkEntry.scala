@@ -109,9 +109,15 @@ object SparkEntry {
 
     // --- HLL accuracy vs exact distinct (bound: 3σ of 1.04/√2^14 ≈ 2.4%) ---
     "q05_hll_accuracy" -> ((s, dir) => {
-      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"),
-          countDistinct(col("l_orderkey")).as("exact_distinct"))
+      // NB: never mix a TypedImperativeAggregate with a distinct aggregate
+      // in one agg — Spark's distinct rewrite would build one sketch
+      // buffer per (group, distinct-key) pair. Two aggregations + join.
+      val li = T(s, dir, "lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"))
+      val ex = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      sk.join(ex, "l_returnflag")
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(hll_estimate(col("sk")) - col("exact_distinct")).cast("double")
             <= lit(0.03) * col("exact_distinct").cast("double")).as("ok"))
