@@ -260,6 +260,14 @@ final class BloomSketch private (
 }
 
 object BloomSketch {
+  /** Library version. Reference quirk, not silently "fixed": the C header
+    * comment says 1.9.0 (`bloom.h:8`) while the `bloom_filter_get_version`
+    * macro returns "1.8.2" (`bloom.h:32,40`) — we report our own version
+    * and record the reference macro value alongside.
+    */
+  final val Version: String = "0.1.0"
+  final val ReferenceVersionMacro: String = "1.8.2"
+
   /** Exact reference constants (`bloom.c:31-33`) — required for geometry
     * fidelity (float32 `p` + these literals reproduce the golden k/m).
     */

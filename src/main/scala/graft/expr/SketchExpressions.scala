@@ -173,6 +173,28 @@ case class BloomJaccard(left: Expression, right: Expression) extends BloomSetOp 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomJaccard = copy(l, r)
 }
 
+/** `bloom_union_bits(a, b)` — popcount of the OR without materializing it
+  * (`bloom.c:340-350`).
+  */
+case class BloomUnionBits(left: Expression, right: Expression) extends BloomSetOp {
+  override def prettyName: String = "bloom_union_bits"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.countUnionBitsSet(y)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomUnionBits = copy(l, r)
+}
+
+/** `bloom_intersect_bits(a, b)` — popcount of the AND (`bloom.c:370-380`). */
+case class BloomIntersectBits(left: Expression, right: Expression) extends BloomSetOp {
+  override def prettyName: String = "bloom_intersect_bits"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.countIntersectionBitsSet(y)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomIntersectBits = copy(l, r)
+}
+
 /** `cbf_contains(blob, key)` / `cbf_count(blob, key)` — counting-Bloom probes. */
 case class CbfCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with GraftTypeCheck {

