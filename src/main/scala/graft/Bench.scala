@@ -69,8 +69,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // large enough that compute dominates scheduling overhead at local[8]
-    val nDocs = math.min(math.max((sf * 2e8).toLong, 200000L), 40000000L)
+    // large enough that compute dominates scheduling overhead at local[4]
+    // (~20s per 4-core battery at sf0.1), small enough that the corpus
+    // write + 6 timed runs + headline queries stay within a CI budget
+    val nDocs = math.min(math.max((sf * 1e8).toLong, 200000L), 40000000L)
     val tableDir = s"/tmp/graft_bench_corpus_$nDocs"
 
     // ---- materialize the corpus once (untimed; deterministic seed) ----

@@ -2,7 +2,7 @@ package graft.expr
 
 import graft.core._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,21 +28,32 @@ private[graft] final class SketchCache[S <: AnyRef] extends Serializable {
 }
 
 /** `fnv1a_hash(col, seed)` — the reference hash (`bloom.c:499-508`) as a
-  * debuggable scalar function.
+  * debuggable scalar function. Codegen'd (no per-row boxing): the
+  * generated code calls [[hash]] directly on the referenced instance, so
+  * the enclosing whole-stage pipeline stays unboxed.
   */
 case class Fnv1aHash(child: Expression, seed: Int)
-    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+    extends UnaryExpression with GraftTypeCheck {
   override def prettyName: String = "fnv1a_hash"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
+  def hash(v: UTF8String): Long = Fnv.fnv1a(v.getBytes, seed)
+  def hash(v: Array[Byte]): Long = Fnv.fnv1a(v, seed)
   override def nullSafeEval(v: Any): Any = child.dataType match {
-    case StringType => Fnv.fnv1a(v.asInstanceOf[UTF8String].getBytes, seed)
-    case BinaryType => Fnv.fnv1a(v.asInstanceOf[Array[Byte]], seed)
+    case StringType => hash(v.asInstanceOf[UTF8String])
+    case BinaryType => hash(v.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fnv1a", this, classOf[Fnv1aHash].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.hash($v);")
   }
   override protected def withNewChildInternal(c: Expression): Fnv1aHash = copy(child = c)
 }
 
-private[graft] trait BloomBinaryKeyProbe extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+// NB deliberately NOT CodegenFallback: WholeStageCodegen excludes any
+// expression that IS-A CodegenFallback (type test, not method dispatch),
+// which would push the whole Filter stage out of codegen.
+private[graft] trait BloomBinaryKeyProbe extends BinaryExpression with GraftTypeCheck {
   @transient protected lazy val cache = new SketchCache[BloomSketch]
   override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
   protected final def keyOf(v: Any): Array[Byte] = right.dataType match {
@@ -60,7 +71,17 @@ private[graft] trait BloomBinaryKeyProbe extends BinaryExpression with CodegenFa
 case class BloomMightContain(left: Expression, right: Expression) extends BloomBinaryKeyProbe {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
+  def probe(blob: Array[Byte], key: UTF8String): Boolean = sketchOf(blob).contains(key.getBytes)
+  def probe(blob: Array[Byte], key: Array[Byte]): Boolean = sketchOf(blob).contains(key)
   override def nullSafeEval(blob: Any, key: Any): Any = sketchOf(blob).contains(keyOf(key))
+  // real codegen (overrides the trait's CodegenFallback): the probe is the
+  // per-row hot path of the Bloom-semi-join pattern, so keep the
+  // surrounding filter/scan stage unboxed; the blob deserialization stays
+  // memoized per task via SketchCache
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bmc", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (blob, key) => s"${ev.value} = $self.probe($blob, $key);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain = copy(l, r)
 }
 

@@ -54,15 +54,16 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // score BEFORE distinct: est_jaccard is a pure function of the pair, so
+    // deduplicating (id_a, id_b, est) is equivalent — and the shuffle rows
+    // carry 24 bytes instead of two numHashes*8-byte signatures
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ maxDistance (≤ 15),
@@ -80,13 +81,13 @@ object Dedup {
       .withColumnRenamed("col", "ck")
     val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // hamming before distinct (pure function of the pair): filters early
+    // and dedups narrow (id_a, id_b, hamming) rows
     a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact character n-gram Jaccard similar pairs, fully relational (no
