@@ -362,6 +362,30 @@ object SparkEntry {
         .toDF("n", "images", "audio", "video", "decoded", "frames")
     }),
 
+    // --- windowed running aggregate over the events stream table ---
+    "q24_window_running" -> ((s, dir) => {
+      val ev = T(s, dir, "events").filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("running_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // --- rollup (grouping sets come free once the UDAFs exist, §2.7) ---
+    "q25_rollup" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("chars"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("cnt"), col("chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -560,6 +584,18 @@ object SparkEntry {
         | CAST(200 AS BIGINT) AS decoded,
         | CAST(sum(CASE WHEN i % 3 = 2 THEN least((1000 + i % 60000) // 500, 64) ELSE 0 END) AS BIGINT) AS frames
         |FROM range(200) t(i)""".stripMargin,
+
+    "q24_window_running" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM events WHERE user_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        | count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source) ORDER BY 1, 2""".stripMargin,
 
     "q23_bloom_estimators" ->
       """SELECT CAST(4872 AS BIGINT) AS est_5000, CAST(9792 AS BIGINT) AS est_10000,
