@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.core.{BloomSketch, HllSketch}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental sketch maintenance over Structured Streaming.
+  *
+  * The batch merge monoid drops into `flatMapGroupsWithState` unchanged
+  * (SURVEY §2.10): per group, the state is the serialized sketch blob;
+  * each micro-batch folds its rows into the deserialized state and emits
+  * the updated blob. Because the fold is the same `add`/`mergeInPlace`
+  * used by the batch UDAFs, a stream processed in any micro-batch split
+  * produces the same final Bloom/HLL blob as one batch build — asserted
+  * in `StreamingSketchSpec` with `MemoryStream`.
+  *
+  * State size per group = one blob (m/8 bytes for Bloom, 2^p for HLL);
+  * at 10^12-row scale keep per-group capacity bounded and group count
+  * moderate, or checkpoint partials to a parts table instead (batch path).
+  */
+object StreamingSketch {
+
+  /** One updated row per (group, micro-batch). */
+  case class SketchUpdate(group: String, sketch: Array[Byte], elementsAdded: Long)
+
+  /** Fold a keyed string stream into per-group Bloom filters.
+    * Input: (group, key). Output stream of [[SketchUpdate]] per batch.
+    */
+  def bloomPerGroup(keyed: Dataset[(String, String)], n: Long, p: Float): Dataset[SketchUpdate] = {
+    implicit val updEnc = Encoders.product[SketchUpdate]
+    implicit val strEnc = Encoders.STRING
+    implicit val binEnc = Encoders.BINARY
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption.map(BloomSketch.deserialize)
+            .getOrElse(BloomSketch.empty(n, p))
+          rows.foreach { case (_, k) => if (k != null) sketch.add(k) }
+          val blob = sketch.serialize()
+          state.update(blob)
+          Iterator.single(SketchUpdate(group, blob, sketch.elementsAdded))
+      }
+  }
+
+  /** Same shape for HLL distinct-count sketches. */
+  def hllPerGroup(keyed: Dataset[(String, String)], precision: Int = 14): Dataset[SketchUpdate] = {
+    implicit val updEnc = Encoders.product[SketchUpdate]
+    implicit val strEnc = Encoders.STRING
+    implicit val binEnc = Encoders.BINARY
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption.map(HllSketch.deserialize)
+            .getOrElse(HllSketch.empty(precision))
+          rows.foreach { case (_, k) => if (k != null) sketch.add(k) }
+          val blob = sketch.serialize()
+          state.update(blob)
+          Iterator.single(SketchUpdate(group, blob, sketch.estimateLong))
+      }
+  }
+}
