@@ -3,6 +3,26 @@ package graft.core
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
+/** Pluggable hash strategy — the reference's `hash_function` pointer
+  * (`bloom.h:42,54`, swapped via `bloom_filter_set_hash_function`,
+  * `bloom.c:89-91`). Hash identity participates in merge compatibility
+  * exactly like the C pointer-equality check (`bloom.c:414-423`).
+  * Serialized blobs do not carry the hasher (neither does the C file
+  * format); import installs the default, as `bloom.c:442-458` does.
+  */
+trait BloomHasher extends Serializable {
+  def id: String
+  def hashes(key: Array[Byte], k: Int): Array[Long]
+  final def hashes(key: String, k: Int): Array[Long] =
+    hashes(key.getBytes(StandardCharsets.UTF_8), k)
+}
+
+/** Default: the reference's seeded FNV-1a family (`bloom.c:490-508`). */
+object FnvBloomHasher extends BloomHasher {
+  val id = "fnv1a-seeded"
+  def hashes(key: Array[Byte], k: Int): Array[Long] = Fnv.hashes(key, k)
+}
+
 /** Bloom filter sketch with reference-compatible geometry, bit layout and
   * serialized formats (semantics from `/root/reference/src/bloom.c`, studied
   * not translated — this implementation is a JVM bit-array with word-level
@@ -41,14 +61,15 @@ final class BloomSketch private (
     val numberHashes: Int,
     val numberBits: Long,
     val bits: Array[Byte],
-    private var _elementsAdded: Long
+    private var _elementsAdded: Long,
+    val hasher: BloomHasher
 ) extends Serializable {
 
   def elementsAdded: Long = _elementsAdded
   def bloomLength: Int = bits.length
 
-  def hashes(key: String): Array[Long] = Fnv.hashes(key, numberHashes)
-  def hashes(key: Array[Byte]): Array[Long] = Fnv.hashes(key, numberHashes)
+  def hashes(key: String): Array[Long] = hasher.hashes(key, numberHashes)
+  def hashes(key: Array[Byte]): Array[Long] = hasher.hashes(key, numberHashes)
 
   def add(key: String): Unit = addHashes(hashes(key))
   def add(key: Array[Byte]): Unit = addHashes(hashes(key))
@@ -122,10 +143,11 @@ final class BloomSketch private (
   def setElementsToEstimated(): Unit = _elementsAdded = estimateElements
 
   def compatibleWith(other: BloomSketch): Boolean =
-    numberHashes == other.numberHashes && numberBits == other.numberBits
+    numberHashes == other.numberHashes && numberBits == other.numberBits &&
+      hasher.id == other.hasher.id
 
   private def requireCompatible(other: BloomSketch): Unit =
-    require(compatibleWith(other), s"incompatible filters: (m=$numberBits,k=$numberHashes) vs (m=${other.numberBits},k=${other.numberHashes})")
+    require(compatibleWith(other), s"incompatible filters: (m=$numberBits,k=$numberHashes,h=${hasher.id}) vs (m=${other.numberBits},k=${other.numberHashes},h=${other.hasher.id})")
 
   /** Spark aggregation merge: bit-OR, counters add. Exact w.r.t. a serial
     * build — see class doc.
@@ -233,7 +255,7 @@ final class BloomSketch private (
   }
 
   def copy(): BloomSketch =
-    new BloomSketch(estimatedElements, falsePositiveRate, numberHashes, numberBits, bits.clone(), _elementsAdded)
+    new BloomSketch(estimatedElements, falsePositiveRate, numberHashes, numberBits, bits.clone(), _elementsAdded, hasher)
 
   /** Exact 11-line report format of `bloom_filter_stats`
     * (`bloom.c:122-143`), golden-tested by the reference
@@ -287,9 +309,11 @@ object BloomSketch {
     (m, k, len.toInt)
   }
 
-  def empty(n: Long, p: Float): BloomSketch = {
+  def empty(n: Long, p: Float): BloomSketch = empty(n, p, FnvBloomHasher)
+
+  def empty(n: Long, p: Float, hasher: BloomHasher): BloomSketch = {
     val (m, k, len) = geometry(n, p)
-    new BloomSketch(n, p, k, m, new Array[Byte](len), 0L)
+    new BloomSketch(n, p, k, m, new Array[Byte](len), 0L, hasher)
   }
 
   /** `⌊-(m/k)·ln(1 - X/m)⌋` (`bloom.c:321-325`). */
@@ -310,7 +334,7 @@ object BloomSketch {
     val (m, k, len) = geometry(n, p)
     require(len == bytes.length - 20, s"corrupt bloom blob: expected array of $len bytes, got ${bytes.length - 20}")
     val arr = java.util.Arrays.copyOfRange(bytes, 0, len)
-    new BloomSketch(n, p, k, m, arr, added)
+    new BloomSketch(n, p, k, m, arr, added, FnvBloomHasher)
   }
 
   /** Inverse of [[BloomSketch.toHexString]] (`bloom.c:272-303`). Like the
@@ -329,6 +353,6 @@ object BloomSketch {
       arr(i) = java.lang.Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
       i += 1
     }
-    new BloomSketch(n, p, k, m, arr, added)
+    new BloomSketch(n, p, k, m, arr, added, FnvBloomHasher)
   }
 }

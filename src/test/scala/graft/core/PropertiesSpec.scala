@@ -146,3 +146,32 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 }
+
+/** Pluggable-hasher seam (bloom.h:42,54; swap = bloom.c:89-91): a custom
+  * hash family works end to end, and hash identity participates in merge
+  * compatibility like the C pointer-equality check (bloom.c:414-423).
+  */
+class BloomHasherSpec extends AnyFunSuite {
+  private object SplitmixHasher extends BloomHasher {
+    val id = "splitmix-test"
+    def hashes(key: Array[Byte], k: Int): Array[Long] = {
+      var h = Fnv.fnv1a(key, 0)
+      Array.fill(k) { h = Fnv.splitmix64(h); h }
+    }
+  }
+
+  test("custom hasher: no false negatives, different bit pattern, merge-incompatible with default") {
+    val keys = (0 until 2000).map(_.toString)
+    val custom = BloomSketch.empty(5000, 0.01f, SplitmixHasher)
+    val default = BloomSketch.empty(5000, 0.01f)
+    keys.foreach { k => custom.add(k); default.add(k) }
+    assert(keys.forall(custom.contains))
+    assert(!custom.bits.sameElements(default.bits))
+    assertThrows[IllegalArgumentException](custom.mergeInPlace(default))
+    assertThrows[IllegalArgumentException](custom.union(default))
+    // same custom hasher on both sides merges fine
+    val other = BloomSketch.empty(5000, 0.01f, SplitmixHasher)
+    other.add("extra")
+    assert(custom.mergeInPlace(other).contains("extra"))
+  }
+}
