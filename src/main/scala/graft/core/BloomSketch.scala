@@ -71,8 +71,25 @@ final class BloomSketch private (
   def hashes(key: String): Array[Long] = hasher.hashes(key, numberHashes)
   def hashes(key: Array[Byte]): Array[Long] = hasher.hashes(key, numberHashes)
 
-  def add(key: String): Unit = addHashes(hashes(key))
-  def add(key: Array[Byte]): Unit = addHashes(hashes(key))
+  def add(key: String): Unit = add(key.getBytes(StandardCharsets.UTF_8))
+
+  /** Hot path: hash-and-set without materializing the hash vector (the
+    * k seeded FNV passes are computed inline; identical bits to
+    * [[addHashes]] — only the allocation is gone). Non-default hashers
+    * fall back to the vector API.
+    */
+  def add(key: Array[Byte]): Unit = {
+    if (hasher eq FnvBloomHasher) {
+      var i = 0
+      while (i < numberHashes) {
+        val bitIdx = java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits)
+        val byteIdx = (bitIdx >>> 3).toInt
+        bits(byteIdx) = (bits(byteIdx) | (1 << (bitIdx & 7L).toInt)).toByte
+        i += 1
+      }
+      _elementsAdded += 1
+    } else addHashes(hashes(key))
+  }
 
   /** Set the k bits for a precomputed hash vector (`bloom.c:165-183`). */
   def addHashes(hs: Array[Long]): Unit = {
@@ -87,8 +104,25 @@ final class BloomSketch private (
     _elementsAdded += 1
   }
 
-  def contains(key: String): Boolean = containsHashes(hashes(key))
-  def contains(key: Array[Byte]): Boolean = containsHashes(hashes(key))
+  def contains(key: String): Boolean = contains(key.getBytes(StandardCharsets.UTF_8))
+
+  /** Hot path: incremental hash-then-probe with early exit — on a miss at
+    * probe i the remaining k-i-1 FNV passes are never computed (the
+    * reference computes all k hashes before probing, `bloom.c:153-158`;
+    * same bits probed, same result, strictly less work — most rows of a
+    * semi-join pre-filter miss early).
+    */
+  def contains(key: Array[Byte]): Boolean = {
+    if (hasher eq FnvBloomHasher) {
+      var i = 0
+      while (i < numberHashes) {
+        val bitIdx = java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits)
+        if ((bits((bitIdx >>> 3).toInt) & (1 << (bitIdx & 7L).toInt)) == 0) return false
+        i += 1
+      }
+      true
+    } else containsHashes(hashes(key))
+  }
 
   /** AND over k bit probes with early exit (`bloom.c:186-202`). */
   def containsHashes(hs: Array[Long]): Boolean = {
