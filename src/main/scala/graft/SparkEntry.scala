@@ -386,6 +386,20 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // --- sharded Bloom semi-join (the 10^12-key deployment shape) ---
+    "q26_sharded_bloom_semijoin" -> ((s, dir) => {
+      import graft.pipeline.ShardedBloom
+      val hi = T(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      val parts = ShardedBloom.build(hi, "o_orderkey", 100000L, 0.01f, 16)
+      val shards = ShardedBloom.collectShards(parts, 100000L, 0.01f, 16)
+      val li = T(s, dir, "lineitem")
+      li.filter(ShardedBloom.mightContain(shards, col("l_orderkey")))
+        .join(hi.select(col("o_orderkey")), li("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -584,6 +598,12 @@ object SparkEntry {
         | CAST(200 AS BIGINT) AS decoded,
         | CAST(sum(CASE WHEN i % 3 = 2 THEN least((1000 + i % 60000) // 500, 64) ELSE 0 END) AS BIGINT) AS frames
         |FROM range(200) t(i)""".stripMargin,
+
+    "q26_sharded_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q24_window_running" ->
       """SELECT user_id, event_id,

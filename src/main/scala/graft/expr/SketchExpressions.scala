@@ -16,14 +16,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's hash-once/probe-many `*_alt` API, `bloom.h:119-126`).
   */
 private[graft] final class SketchCache[S <: AnyRef] extends Serializable {
+  // fast path: the single-blob case (one broadcast filter)
   @transient private var blobRef: Array[Byte] = _
   @transient private var sketch: S = _
+  // sharded case (e.g. ShardedBloom.mightContain): rows alternate between
+  // the shards of one broadcast array-of-blobs, whose element references
+  // are stable per task — memoize by identity, bounded (a fresh literal
+  // per row can never wedge the cache)
+  @transient private var map: java.util.IdentityHashMap[Array[Byte], S] = _
+
   def get(blob: Array[Byte], parse: Array[Byte] => S): S = {
-    if (sketch == null || (blobRef ne blob)) {
-      sketch = parse(blob)
-      blobRef = blob
+    if (sketch != null && (blobRef eq blob)) return sketch
+    if (map == null) map = new java.util.IdentityHashMap[Array[Byte], S]
+    var s = map.get(blob)
+    if (s == null) {
+      if (map.size >= 1024) map.clear()
+      s = parse(blob)
+      map.put(blob, s)
     }
-    sketch
+    blobRef = blob
+    sketch = s
+    s
   }
 }
 
