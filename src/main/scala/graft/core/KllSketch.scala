@@ -76,21 +76,22 @@ final class KllSketch private (
     val buf = levels(h)
     if (buf.length < 2) return
     val sorted = buf.sortInPlace()
+    // Weight conservation is exact: only an EVEN count of items is ever
+    // compacted (each promoted item carries two originals' weight). An
+    // odd-length buffer keeps one end item at this level, alternating
+    // which end so the leftover introduces no directional rank bias.
+    val odd = sorted.length % 2 == 1
+    val keepLowEnd = ((flips(h) >> 1) & 1L) == 0L
+    val start = if (odd && keepLowEnd) 1 else 0
+    val endExcl = if (odd && !keepLowEnd) sorted.length - 1 else sorted.length
     val keepOdd = (flips(h) & 1L) == 1L
     flips(h) += 1
-    val promoted = new ArrayBuffer[Double](sorted.length / 2)
-    var i = if (keepOdd) 1 else 0
-    while (i < sorted.length) { promoted += sorted(i); i += 2 }
-    // an odd leftover item (when keepOdd and length is odd → floor(n/2)
-    // promoted; one item's weight is redistributed by the selection itself)
+    val promoted = new ArrayBuffer[Double]((endExcl - start) / 2)
+    var i = start + (if (keepOdd) 1 else 0)
+    while (i < endExcl) { promoted += sorted(i); i += 2 }
+    val leftover = if (odd) Some(if (keepLowEnd) sorted(0) else sorted(sorted.length - 1)) else None
     levels(h) = ArrayBuffer.empty[Double]
-    if (sorted.length % 2 == 1 && !keepOdd) {
-      // even positions of an odd-length buffer select (n+1)/2 items; drop
-      // the last to keep weight 2x per promoted item unbiased-in-pairs
-      if (promoted.nonEmpty && promoted.length * 2 > sorted.length) {
-        levels(h) += promoted.remove(promoted.length - 1)
-      }
-    }
+    leftover.foreach(levels(h) += _)
     levels(h + 1) ++= promoted
   }
 

@@ -175,3 +175,57 @@ class BloomHasherSpec extends AnyFunSuite {
     assert(custom.mergeInPlace(other).contains("extra"))
   }
 }
+
+/** KLL at scale: the compactor must conserve weight exactly (every
+  * compaction promotes an even count; odd leftovers stay at their level),
+  * so rank(max)=1 exactly and rank error stays within bound at 10^6-item
+  * streams — regression for a drift where odd-length keep-odd compactions
+  * silently dropped one item-weight each.
+  */
+class KllScaleSpec extends AnyFunSuite {
+  test("kll: weight conserved and rank error < 1.5% over 1M skewed values") {
+    val sk = KllSketch.empty(200)
+    val xs = new Array[Double](1000000)
+    var h = 42L
+    var i = 0
+    while (i < xs.length) {
+      h = Fnv.splitmix64(h)
+      // lognormal-ish skew, like price/length columns
+      val u = (h >>> 11).toDouble / (1L << 53).toDouble
+      xs(i) = math.exp(3.0 * u) * 1000.0
+      sk.add(xs(i))
+      i += 1
+    }
+    assert(sk.rank(sk.max) == 1.0, s"weight drift: rank(max)=${sk.rank(sk.max)}")
+    val sorted = xs.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.quantile(q)
+      val rank = {
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= est) lo = m + 1 else hi = m }
+        lo.toDouble / sorted.length
+      }
+      assert(math.abs(rank - q) <= 0.015, f"q=$q rank=$rank%.4f err=${math.abs(rank - q)}%.4f")
+    }
+  }
+
+  test("kll: merged 8-way rank error < 2% over 800k values") {
+    val parts = (0 until 8).map { p =>
+      val s = KllSketch.empty(200)
+      var h = 1000L + p
+      (0 until 100000).foreach { _ =>
+        h = Fnv.splitmix64(h)
+        s.add(((h >>> 11).toDouble / (1L << 53).toDouble) * 1e6)
+      }
+      s
+    }
+    val merged = parts.reduce(_ mergeInPlace _)
+    assert(merged.count == 800000L)
+    assert(merged.rank(merged.max) == 1.0)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      // uniform on [0,1e6]: exact rank of est ≈ est/1e6
+      assert(math.abs(est / 1e6 - q) <= 0.02, s"q=$q est=$est")
+    }
+  }
+}
