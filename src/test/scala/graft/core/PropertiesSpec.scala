@@ -229,3 +229,58 @@ class KllScaleSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Same at-scale regression net for the other estimators. */
+class EstimatorScaleSpec extends AnyFunSuite {
+  test("tdigest: rank error < 1% mid / 0.3% tails over 1M skewed values") {
+    val td = TDigestSketch.empty(100.0)
+    val xs = new Array[Double](1000000)
+    var h = 7L
+    var i = 0
+    while (i < xs.length) {
+      h = Fnv.splitmix64(h)
+      xs(i) = math.exp(3.0 * ((h >>> 11).toDouble / (1L << 53).toDouble)) * 1000.0
+      td.add(xs(i))
+      i += 1
+    }
+    val sorted = xs.sorted
+    def rankOf(v: Double): Double = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo.toDouble / sorted.length
+    }
+    for ((q, tol) <- Seq(0.01 -> 0.003, 0.25 -> 0.01, 0.5 -> 0.01, 0.75 -> 0.01, 0.99 -> 0.003)) {
+      val err = math.abs(rankOf(td.quantile(q)) - q)
+      assert(err <= tol, f"q=$q err=$err%.5f")
+    }
+  }
+
+  test("hll: relative error < 2% at 1M distinct keys (p=14)") {
+    val hll = HllSketch.empty(14)
+    var i = 0
+    while (i < 1000000) { hll.add(s"key-$i"); i += 1 }
+    val est = hll.estimate
+    assert(math.abs(est - 1000000.0) / 1000000.0 <= 0.02, s"est=$est")
+  }
+
+  test("cms: one-sided error within eps*N at 1M updates") {
+    val cms = CmsSketch.empty(0.0001, 0.01)
+    val keys = (0 until 50).map(i => s"k$i")
+    var h = 99L
+    var i = 0
+    val exact = new Array[Long](keys.length)
+    while (i < 1000000) {
+      h = Fnv.splitmix64(h)
+      // Zipf-ish: low indices much more frequent
+      val idx = (keys.length * math.pow((h >>> 11).toDouble / (1L << 53).toDouble, 3.0)).toInt.min(keys.length - 1)
+      cms.add(keys(idx))
+      exact(idx) += 1
+      i += 1
+    }
+    keys.indices.foreach { j =>
+      val est = cms.estimateCount(keys(j))
+      assert(est >= exact(j), s"undercount at $j")
+      assert(est <= exact(j) + math.ceil(0.0001 * 1000000).toLong + 1, s"overcount at $j: est=$est exact=${exact(j)}")
+    }
+  }
+}
