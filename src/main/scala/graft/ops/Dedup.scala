@@ -101,10 +101,24 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         width: Int = 16, step: Int = 4,
-                        thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(textCol).as("t"))
+                        thresholdNum: Int = 1, thresholdDen: Int = 2,
+                        maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"), explode(array_distinct(expr(
         s"transform(sequence(1, greatest(length(t) - ${width - 1}, 1), $step), p -> substring(t, p, $width))"))).as("sh"))
+    // Scale guard: a shingle shared by F docs yields F^2/2 join rows — at
+    // web scale boilerplate shingles (headers, templates) blow the
+    // self-join up quadratically. maxShingleFreq drops shingles above the
+    // cap (standard "stop-shingle" filtering; biases Jaccard DOWN only for
+    // pairs whose overlap is dominated by boilerplate, which is the
+    // intended dedup semantics). Default: uncapped (exact, oracle-equal).
+    val sh =
+      if (maxShingleFreq == Long.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select(col("sh"))
+        shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

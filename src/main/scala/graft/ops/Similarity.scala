@@ -74,6 +74,81 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path beside LSH: a coarse quantizer of `nCentroids` Voronoi cells;
+    * each query scans only its `nProbe` nearest cells.
+    *
+    * The quantizer is trained driver-side with Lloyd iterations on a
+    * deterministic sample (rows with the smallest `xxhash64(id)` — stable
+    * across runs and partitionings), which is the realistic deployment
+    * shape: coarse quantizers are small and trained once on a sample,
+    * while ASSIGNMENT and SEARCH stay distributed. Cell assignment runs in
+    * `mapPartitions` (an argmin over nCentroids dot products per row — a
+    * genuine per-row imperative loop; centroids ride the closure like a
+    * broadcast). Recall < 1 is the documented trade, rising with nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              sampleSize: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .as[(Long, Seq[Float])]
+    // deterministic sample: smallest hash ranks
+    val sample = typed.toDF("_id", "_v")
+      .orderBy(xxhash64(col("_id"))).limit(sampleSize)
+      .as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var centroids = sample.take(nCentroids)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    val cs = centroids // stable reference for the closures below
+    val assigned = typed.map { case (id, v) => (id, v, nearestCell(v.toArray, cs)) }
+      .toDF("neighbor_id", "cv", "cell")
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(v.toArray, cs, nProbe).map(c => (id, v, c))
+      }.toDF("query_id", "qv", "cell")
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  private[ops] def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int =
+    nearestCells(v, cs, 1).head
+  private[ops] def nearestCells(v: Array[Float], cs: Array[Array[Float]], n: Int): Seq[Int] = {
+    val nv = norm(v)
+    cs.indices
+      .sortBy(c => (-(dot(v, cs(c)) / (nv * norm(cs(c)) + 1e-12)), c))
+      .take(n)
+  }
+
   /** Multi-table LSH approximate top-k (standard OR-amplification:
     * `tables` independent bucketings; a corpus row is a candidate if it
     * collides with the query in ANY table). Per-table bucket count is
