@@ -106,7 +106,28 @@ object SketchPipeline {
       p: Float,
       checkpointDir: String,
       numGroups: Int,
-      simulateFailureAfter: Int = Int.MaxValue): Array[Byte] = {
+      simulateFailureAfter: Int = Int.MaxValue): Array[Byte] =
+    buildCheckpointed(spark, inputFiles,
+      df => df.agg(bloom_sketch(col(keyCol).cast("string"), n, p).as("sketch")),
+      parts => mergeParts(parts),
+      checkpointDir, numGroups, simulateFailureAfter)
+
+  /** Generic checkpoint/resume: any sketch build (or battery of builds) as
+    * the per-group aggregation, any blob re-aggregation as the final merge
+    * — e.g. `df => df.agg(hll_sketch(...).as("sketch"))` with
+    * `parts => parts.agg(hll_merge_agg(col("sketch"))).head.getAs[...]`.
+    * Group outputs are written atomically (overwrite + `_SUCCESS`); resume
+    * skips completed groups, so replays never double-count (each group's
+    * rows contribute to exactly one part file, rewritten whole).
+    */
+  def buildCheckpointed[A](
+      spark: SparkSession,
+      inputFiles: Seq[String],
+      buildGroup: DataFrame => DataFrame,
+      mergeGroups: DataFrame => A,
+      checkpointDir: String,
+      numGroups: Int,
+      simulateFailureAfter: Int = Int.MaxValue): A = {
     require(inputFiles.nonEmpty, "no input files")
     val hconf = spark.sparkContext.hadoopConfiguration
     val groups = inputFiles.sorted.zipWithIndex.groupMap(_._2 % numGroups)(_._1).toSeq.sortBy(_._1)
@@ -118,8 +139,7 @@ object SketchPipeline {
       if (!done) {
         if (processed >= simulateFailureAfter)
           throw new RuntimeException(s"simulated failure before group $gid")
-        spark.read.parquet(files: _*)
-          .agg(bloom_sketch(col(keyCol).cast("string"), n, p).as("sketch"))
+        buildGroup(spark.read.parquet(files: _*))
           .withColumn("group_id", lit(gid))
           .write.mode(SaveMode.Overwrite).parquet(dir.toString)
         processed += 1
@@ -128,6 +148,6 @@ object SketchPipeline {
     // explicit per-group paths (not a glob): robust against partial/foreign
     // dirs under the checkpoint root
     val groupDirs = groups.map { case (gid, _) => s"$checkpointDir/group=$gid" }
-    mergeParts(spark.read.parquet(groupDirs: _*))
+    mergeGroups(spark.read.parquet(groupDirs: _*))
   }
 }

@@ -32,3 +32,29 @@ class ShardedBloomSpec extends AnyFunSuite {
     assert(sparse.filter(!ShardedBloom.mightContain(sparseShards, col("k"))).count() == 0)
   }
 }
+
+/** Generic checkpoint/resume over a non-Bloom sketch (HLL): kill-mid-job
+  * resume produces the same blob as a direct build.
+  */
+class GenericCheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.functions._
+
+  test("checkpointed HLL battery resumes to the direct-build blob") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gck").toString
+    (0 until 5000).map(i => s"k$i").toDF("k").repartition(6)
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val files = new java.io.File(s"$tmp/src").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+    def build(df: org.apache.spark.sql.DataFrame) = df.agg(hll_sketch(col("k"), 12).as("sketch"))
+    def merge(parts: org.apache.spark.sql.DataFrame) =
+      parts.agg(hll_merge_agg(col("sketch"))).head.getAs[Array[Byte]](0)
+    val direct = build(spark.read.parquet(files: _*)).head.getAs[Array[Byte]](0)
+    val failed = scala.util.Try(SketchPipeline.buildCheckpointed(
+      spark, files, build, merge, s"$tmp/ckpt", 3, simulateFailureAfter = 1))
+    assert(failed.isFailure)
+    val resumed = SketchPipeline.buildCheckpointed(spark, files, build, merge, s"$tmp/ckpt", 3)
+    assert(resumed.sameElements(direct))
+  }
+}
