@@ -28,16 +28,24 @@ final class CmsSketch private (
 
   def totalCount: Long = _totalCount
 
-  private def bucket(key: Array[Byte], row: Int): Int =
-    java.lang.Long.remainderUnsigned(Fnv.splitmix64(Fnv.fnv1a(key, row)), width.toLong).toInt
+  // Double-hashing row family: bucket_i = (h1 + i*h2) mod width with h1 =
+  // FNV-1a, h2 odd from splitmix64(h1) — one pass over the key bytes for
+  // all depth rows (Kirsch-Mitzenmacher 2006 shows the pairwise-independent
+  // family CMS needs is preserved). CMS has no reference byte format to
+  // match (unlike Bloom), so the cheaper family is free.
+  private def baseHash(key: Array[Byte]): Long = Fnv.fnv1a(key, 0)
+  private def rowBucket(h1: Long, h2: Long, row: Int): Int =
+    java.lang.Long.remainderUnsigned(h1 + row.toLong * h2, width.toLong).toInt
 
   def add(key: String, count: Long = 1L): Unit = add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8), count)
 
   def add(key: Array[Byte], count: Long): Unit = {
     require(count >= 0, "negative counts not supported")
+    val h1 = baseHash(key)
+    val h2 = Fnv.splitmix64(h1) | 1L
     var row = 0
     while (row < depth) {
-      table(row * width + bucket(key, row)) += count
+      table(row * width + rowBucket(h1, h2, row)) += count
       row += 1
     }
     _totalCount += count
@@ -46,10 +54,12 @@ final class CmsSketch private (
   def estimateCount(key: String): Long = estimateCount(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def estimateCount(key: Array[Byte]): Long = {
+    val h1 = baseHash(key)
+    val h2 = Fnv.splitmix64(h1) | 1L
     var mn = Long.MaxValue
     var row = 0
     while (row < depth) {
-      val v = table(row * width + bucket(key, row))
+      val v = table(row * width + rowBucket(h1, h2, row))
       if (v < mn) mn = v
       row += 1
     }
