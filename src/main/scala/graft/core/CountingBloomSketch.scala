@@ -86,6 +86,23 @@ final class CountingBloomSketch private (
   def compatibleWith(other: CountingBloomSketch): Boolean =
     numberHashes == other.numberHashes && numberBits == other.numberBits
 
+  /** Element-wise floored counter subtract — batch removal at scale: build
+    * a counting filter over the removed keys with the same geometry, then
+    * subtract it (the distributed analog of per-key `remove`, which is the
+    * reference family's decrement).
+    */
+  def subtractInPlace(other: CountingBloomSketch): CountingBloomSketch = {
+    require(compatibleWith(other), "incompatible counting blooms")
+    var i = 0
+    while (i < counters.length) {
+      val d = counters(i) - other.counters(i)
+      counters(i) = if (d < 0) 0 else d
+      i += 1
+    }
+    _elementsAdded = math.max(0L, _elementsAdded - other._elementsAdded)
+    this
+  }
+
   /** Element-wise saturating counter add — the aggregation merge. */
   def mergeInPlace(other: CountingBloomSketch): CountingBloomSketch = {
     require(compatibleWith(other), "incompatible counting blooms")

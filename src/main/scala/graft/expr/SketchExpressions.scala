@@ -229,6 +229,24 @@ case class BloomIntersectBits(left: Expression, right: Expression) extends Bloom
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomIntersectBits = copy(l, r)
 }
 
+/** `cbf_subtract(a, b)` — floored counter subtraction: removal of a batch
+  * of keys (sketched as `b` with the same geometry) from `a`.
+  */
+case class CbfSubtract(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cacheL = new SketchCache[CountingBloomSketch]
+  @transient private lazy val cacheR = new SketchCache[CountingBloomSketch]
+  override def prettyName: String = "cbf_subtract"
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.binary)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = CountingBloomSketch.deserialize(a.asInstanceOf[Array[Byte]]) // fresh copy: subtract mutates
+    val y = cacheR.get(b.asInstanceOf[Array[Byte]], CountingBloomSketch.deserialize)
+    x.subtractInPlace(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CbfSubtract = copy(l, r)
+}
+
 /** `cbf_contains(blob, key)` / `cbf_count(blob, key)` — counting-Bloom probes. */
 case class CbfCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with GraftTypeCheck {

@@ -78,6 +78,7 @@ object functions {
   def bloom_intersect_bits(a: Column, b: Column): Column = col(BloomIntersectBits(ex(a), ex(b)))
 
   def cbf_count(blob: Column, key: Column): Column = col(CbfCount(ex(blob), ex(key)))
+  def cbf_subtract(a: Column, b: Column): Column = col(CbfSubtract(ex(a), ex(b)))
 
   def hll_estimate(blob: Column): Column = col(HllEstimate(ex(blob)))
   def hll_merge(a: Column, b: Column): Column = col(HllMergeExpr(ex(a), ex(b)))
@@ -167,6 +168,7 @@ object functions {
     "bloom_union_bits" -> ((es: Seq[Expression]) => BloomUnionBits(es(0), es(1))),
     "bloom_intersect_bits" -> ((es: Seq[Expression]) => BloomIntersectBits(es(0), es(1))),
     "cbf_count" -> ((es: Seq[Expression]) => CbfCount(es(0), es(1))),
+    "cbf_subtract" -> ((es: Seq[Expression]) => CbfSubtract(es(0), es(1))),
     "hll_estimate" -> ((es: Seq[Expression]) => HllEstimate(es(0))),
     "hll_merge" -> ((es: Seq[Expression]) => HllMergeExpr(es(0), es(1))),
     "cms_query" -> ((es: Seq[Expression]) => CmsQuery(es(0), es(1))),
