@@ -45,6 +45,10 @@ object SparkEntry {
     """d AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** q28's injected boilerplate class — the pathological duplicate text. */
+  private val BoilerText =
+    "the quick brown fox jumps over the lazy dog again and again and again"
+
   /** Flagship: per-language HLL distinct-doc estimates over the sf0.001
     * documents table (scan → prune → partial agg → shuffle → merge → eval).
     */
@@ -139,23 +143,29 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // --- quantile sketches vs exact ranks ---
+    // --- quantile sketches vs exact ranks (two jobs total: sketch build +
+    // ONE aggregation computing every rank check; quantile/rank evals on
+    // the driver-held blobs are local math, not jobs) ---
     "q07_quantiles" -> ((s, dir) => {
       import s.implicits._
-      val x = T(s, dir, "lineitem").select(col("l_extendedprice").as("x")).cache()
+      val x = T(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
       val agg = x.agg(tdigest_sketch(col("x"), 100.0).as("td"),
         kll_sketch(col("x"), 200).as("kl"), count(lit(1)).as("n")).head
       val (td, kl, n) = (agg.getAs[Array[Byte]]("td"), agg.getAs[Array[Byte]]("kl"), agg.getAs[Long]("n"))
-      val rows = Seq(0.1, 0.5, 0.9, 0.99).map { q =>
-        val est = s.range(1).select(
-          tdigest_quantile(lit(td), q).as("tq"), kll_quantile(lit(kl), q).as("kq")).head
-        val (tq, kq) = (est.getAs[Double]("tq"), est.getAs[Double]("kq"))
-        def rankOf(v: Double): Double = x.filter(col("x") <= v).count.toDouble / n
-        val krank = s.range(1).select(kll_rank(lit(kl), lit(kq)).as("r")).head.getAs[Double]("r")
-        (q, n, math.abs(rankOf(tq) - q) <= 0.02, math.abs(rankOf(kq) - q) <= 0.025,
-          math.abs(krank - rankOf(kq)) <= 0.025)
+      val tdS = graft.core.TDigestSketch.deserialize(td)
+      val klS = graft.core.KllSketch.deserialize(kl)
+      val evals = Seq(0.1, 0.5, 0.9, 0.99).map(q => (q, tdS.quantile(q), klS.quantile(q)))
+      val rankCols = evals.zipWithIndex.flatMap { case ((_, tq, kq), i) =>
+        Seq(sum(when(col("x") <= tq, 1L).otherwise(0L)).as(s"t$i"),
+          sum(when(col("x") <= kq, 1L).otherwise(0L)).as(s"k$i"))
       }
-      x.unpersist()
+      val r = x.agg(rankCols.head, rankCols.tail: _*).head
+      val rows = evals.zipWithIndex.map { case ((q, _, kq), i) =>
+        val rankT = r.getAs[Long](s"t$i").toDouble / n
+        val rankK = r.getAs[Long](s"k$i").toDouble / n
+        (q, n, math.abs(rankT - q) <= 0.02, math.abs(rankK - q) <= 0.025,
+          math.abs(klS.rank(kq) - rankK) <= 0.025)
+      }
       rows.toDF("q", "n", "ok_tdigest", "ok_kll", "ok_kll_rank").orderBy(col("q"))
     }),
 
@@ -219,6 +229,30 @@ object SparkEntry {
         .filter(col("ta") === col("tb"))
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- pathological-duplicate corpus: the hot-bucket cap keeps LSH
+    // banding linear while the exact route finds every duplicate (the
+    // first failure a real Common-Crawl dedup run hits: one boilerplate
+    // class of F copies is an F²/2-row band join without the cap) ---
+    "q28_dedup_pathological" -> ((s, dir) => {
+      import s.implicits._
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
+      val boiler = s.range(0, 300).select((col("id") + 5000000L).as("doc_id"),
+        lit(BoilerText).as("text"))
+      val d = base.unionAll(boiler)
+      val edges = Dedup.nearDupPairsScaled(d, "doc_id", "text", 64, 16, 3, 0.9,
+        maxBandFreq = 20L)
+      val exactEdges = edges.filter(col("kind") === "exact").cache()
+      val exactCnt = exactEdges.count()
+      val boilerCnt = exactEdges.filter(col("id_a") >= 5000000L).count()
+      exactEdges.unpersist()
+      val capped = Dedup.minHashPairs(d, "doc_id", "text", 64, 16, 3, 0.9, 20L).count()
+      val uncapped = Dedup.minHashPairs(d, "doc_id", "text", 64, 16, 3, 0.9).count()
+      val docs = d.count()
+      Seq((exactCnt, boilerCnt, uncapped - capped >= 40000L, capped <= docs))
+        .toDF("exact_edges", "boiler_edges", "cap_engaged", "near_linear")
     }),
 
     // --- n-gram Jaccard pairs: integer-exact, oracle runs it verbatim ---
@@ -416,6 +450,36 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- sharded Bloom, large-B probe path: the parts table stays
+    // DISTRIBUTED and probes run as a bucket-equi-join — same answer as
+    // q26's broadcast-variable path, no blob on the driver or in the plan ---
+    "q29_sharded_bloom_join" -> ((s, dir) => {
+      import graft.pipeline.ShardedBloom
+      val hi = T(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      val parts = ShardedBloom.build(hi, "o_orderkey", 100000L, 0.01f, 16)
+      val li = T(s, dir, "lineitem")
+      ShardedBloom.semiJoin(li, "l_orderkey", parts, 16)
+        .join(hi.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- embedding near-dup pairs, exact-verified: LSH buckets identical
+    // vectors together by construction, so candidates ⊇ all exact-equal
+    // pairs; the vector-equality filter makes the result oracle-exact ---
+    "q30_embed_neardup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val d = emb.unionAll(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val cand = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding", 0.999999, 8, 42L)
+      cand.join(d.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+        .join(d.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+        .filter(col("va") === col("vb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -540,6 +604,28 @@ object SparkEntry {
          | CAST(sa.n + sb.n - common AS BIGINT) AS uni
          |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |WHERE common * 2 >= (sa.n + sb.n - common) * 1 ORDER BY 1, 2""".stripMargin,
+
+    "q28_dedup_pathological" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |boiler AS (SELECT 5000000 + i AS doc_id, '$BoilerText' AS text FROM range(300) t(i)),
+         |d AS (SELECT * FROM base UNION ALL SELECT * FROM boiler),
+         |g AS (SELECT text, count(*) AS c, min(doc_id) AS keeper FROM d GROUP BY 1)
+         |SELECT CAST(sum(c - 1) AS BIGINT) AS exact_edges,
+         | CAST(sum(CASE WHEN keeper >= 5000000 THEN c - 1 ELSE 0 END) AS BIGINT) AS boiler_edges,
+         | true AS cap_engaged, true AS near_linear
+         |FROM g""".stripMargin,
+
+    "q29_sharded_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q30_embed_neardup" ->
+      """WITH d AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM d a JOIN d b
+        |ON a.embedding = b.embedding AND a.vec_id < b.vec_id ORDER BY 1, 2""".stripMargin,
 
     "q14_embed_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

@@ -42,14 +42,23 @@ abstract class SketchAgg[S >: Null <: AnyRef] extends TypedImperativeAggregate[S
   }
 }
 
-/** `bloom_sketch(col, n, p)` — reference-semantics Bloom filter build.
-  * Merge = bit-OR + additive insert counter (exact vs a serial build at any
-  * parallelism, the ported `bloom_multi_thread.c:64-78` invariance).
+/** `bloom_sketch(col, n, p [, hasher])` — reference-semantics Bloom filter
+  * build. Merge = bit-OR + additive insert counter (exact vs a serial build
+  * at any parallelism, the ported `bloom_multi_thread.c:64-78` invariance).
+  *
+  * `hasher` is the UDAF surface of the reference's
+  * `bloom_filter_set_hash_function` (`bloom.c:89-91`): every buffer of
+  * this aggregate is created with the family, partial-buffer blobs carry
+  * it through the shuffle via the hasher tag (see [[BloomSketch]]), and
+  * hash identity participates in merge compatibility — merging blobs
+  * built under different families throws, as the C pointer-equality
+  * check does (`bloom.c:419`).
   */
 case class BloomSketchAgg(
     child: Expression,
     estimatedElements: Long,
     fpp: Float,
+    hasher: BloomHasher = FnvBloomHasher,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends SketchAgg[BloomSketch] {
@@ -57,7 +66,7 @@ case class BloomSketchAgg(
   override def prettyName: String = "bloom_sketch"
   override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
 
-  override def createAggregationBuffer(): BloomSketch = BloomSketch.empty(estimatedElements, fpp)
+  override def createAggregationBuffer(): BloomSketch = BloomSketch.empty(estimatedElements, fpp, hasher)
 
   override def update(b: BloomSketch, input: InternalRow): BloomSketch = {
     val k = keyBytes(input)
@@ -90,15 +99,8 @@ case class CountingBloomSketchAgg(
   override def createAggregationBuffer(): CountingBloomSketch = CountingBloomSketch.empty(estimatedElements, fpp)
 
   override def update(b: CountingBloomSketch, input: InternalRow): CountingBloomSketch = {
-    val v = child.eval(input)
-    if (v != null) {
-      val s = child.dataType match {
-        case StringType => v.asInstanceOf[UTF8String].toString
-        case BinaryType => new String(v.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
-        case _ => v.toString
-      }
-      b.add(s)
-    }
+    val k = keyBytes(input)
+    if (k != null) b.add(k)
     b
   }
 

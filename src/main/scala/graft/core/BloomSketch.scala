@@ -7,8 +7,17 @@ import java.nio.charset.StandardCharsets
   * (`bloom.h:42,54`, swapped via `bloom_filter_set_hash_function`,
   * `bloom.c:89-91`). Hash identity participates in merge compatibility
   * exactly like the C pointer-equality check (`bloom.c:414-423`).
-  * Serialized blobs do not carry the hasher (neither does the C file
-  * format); import installs the default, as `bloom.c:442-458` does.
+  *
+  * Serialization: the C file format does not carry the hasher (import
+  * installs the default, `bloom.c:442-458`) — and default-hasher blobs
+  * here stay byte-identical to it. A NON-default hasher would silently
+  * resume with the wrong hash family after any round-trip (every Spark
+  * shuffle of partial buffers serializes), so custom-hasher blobs append a
+  * hasher-id tag *outside* the reference 20-byte footer; [[BloomSketch
+  * .deserialize]] detects the tag and re-installs the registered hasher
+  * (loud failure if the id is unknown in this JVM). The hex format stays
+  * pure C-interchange: [[BloomSketch.fromHexString]] installs the default,
+  * as the reference does.
   */
 trait BloomHasher extends Serializable {
   def id: String
@@ -17,10 +26,47 @@ trait BloomHasher extends Serializable {
     hashes(key.getBytes(StandardCharsets.UTF_8), k)
 }
 
+object BloomHasher {
+  private val registry = new scala.collection.concurrent.TrieMap[String, BloomHasher]
+  register(FnvBloomHasher)
+  register(Poly31BloomHasher)
+
+  /** Register a custom family so tagged blobs can round-trip in this JVM
+    * (call on every executor — e.g. from a singleton init — before
+    * deserializing tagged blobs).
+    */
+  def register(h: BloomHasher): Unit = registry.put(h.id, h)
+
+  def lookup(id: String): BloomHasher = registry.getOrElse(id,
+    throw new IllegalArgumentException(
+      s"unknown bloom hasher id '$id' — register it via BloomHasher.register before deserializing"))
+}
+
 /** Default: the reference's seeded FNV-1a family (`bloom.c:490-508`). */
 object FnvBloomHasher extends BloomHasher {
   val id = "fnv1a-seeded"
   def hashes(key: Array[Byte], k: Int): Array[Long] = Fnv.hashes(key, k)
+}
+
+/** Alternate built-in family (demonstrates `set_hash_function` end-to-end
+  * through the UDAF/SQL surface): seeded 31-polynomial over the key bytes,
+  * splitmix64-finalized per seed. Deliberately NOT the FNV family — two
+  * filters built with different families set different bits and refuse to
+  * merge (hash id participates in [[BloomSketch.compatibleWith]]).
+  */
+object Poly31BloomHasher extends BloomHasher {
+  val id = "poly31-mix64"
+  def hashes(key: Array[Byte], k: Int): Array[Long] = {
+    // one pass over the bytes; per-seed finalization like the reference's
+    // seeded-FNV shape (hash_i = finalize(base ^ seed_i))
+    var h = 1125899906842597L
+    var j = 0
+    while (j < key.length) { h = 31L * h + (key(j) & 0xffL); j += 1 }
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = Fnv.splitmix64(h ^ (i.toLong * 0x9e3779b97f4a7c15L)); i += 1 }
+    out
+  }
 }
 
 /** Bloom filter sketch with reference-compatible geometry, bit layout and
@@ -260,13 +306,27 @@ final class BloomSketch private (
 
   def serializedSize: Long = bits.length.toLong + 20L
 
-  /** Reference binary layout (`bloom.c:426-439`): array then LE footer. */
+  /** Reference binary layout (`bloom.c:426-439`): array then LE footer.
+    * Default-hasher blobs are byte-identical to the C format; non-default
+    * hashers append `idBytes | idLen:int32 | "GFHH"` after the footer so
+    * the hash family survives round-trips (see [[BloomHasher]] doc). The
+    * tag is unambiguous: a valid C blob's last 4 bytes are the float32 `p`
+    * in (0,1), whose bit pattern can never equal the magic.
+    */
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(bits.length + 20).order(ByteOrder.LITTLE_ENDIAN)
+    val tagged = hasher ne FnvBloomHasher
+    val idb = if (tagged) hasher.id.getBytes(StandardCharsets.UTF_8) else null
+    val extra = if (tagged) idb.length + 8 else 0
+    val buf = ByteBuffer.allocate(bits.length + 20 + extra).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(bits)
     buf.putLong(estimatedElements)
     buf.putLong(_elementsAdded)
     buf.putFloat(falsePositiveRate)
+    if (tagged) {
+      buf.put(idb)
+      buf.putInt(idb.length)
+      buf.put(BloomSketch.HasherTagMagic)
+    }
     buf.array()
   }
 
@@ -356,19 +416,34 @@ object BloomSketch {
     (-(m.toDouble / k.toDouble) * logN).toLong
   }
 
+  private[core] val HasherTagMagic: Array[Byte] = Array('G', 'F', 'H', 'H')
+
   /** Inverse of [[BloomSketch.serialize]] (`bloom.c:442-458`): footer from
-    * the tail, geometry recomputed from `(n, p)`.
+    * the tail, geometry recomputed from `(n, p)`. Tagged (custom-hasher)
+    * blobs re-install the registered hasher by id — never a silent switch
+    * to the default family.
     */
   def deserialize(bytes: Array[Byte]): BloomSketch = {
     require(bytes.length > 20, s"serialized bloom too short: ${bytes.length}")
-    val buf = ByteBuffer.wrap(bytes, bytes.length - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length > 28 &&
+        bytes(bytes.length - 4) == HasherTagMagic(0) && bytes(bytes.length - 3) == HasherTagMagic(1) &&
+        bytes(bytes.length - 2) == HasherTagMagic(2) && bytes(bytes.length - 1) == HasherTagMagic(3)) {
+      val idLen = ByteBuffer.wrap(bytes, bytes.length - 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(idLen > 0 && bytes.length - 8 - idLen > 20, s"corrupt bloom hasher tag: idLen=$idLen")
+      val id = new String(bytes, bytes.length - 8 - idLen, idLen, StandardCharsets.UTF_8)
+      deserializeBody(bytes, bytes.length - 8 - idLen, BloomHasher.lookup(id))
+    } else deserializeBody(bytes, bytes.length, FnvBloomHasher)
+  }
+
+  private def deserializeBody(bytes: Array[Byte], end: Int, hasher: BloomHasher): BloomSketch = {
+    val buf = ByteBuffer.wrap(bytes, end - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
     val n = buf.getLong
     val added = buf.getLong
     val p = buf.getFloat
     val (m, k, len) = geometry(n, p)
-    require(len == bytes.length - 20, s"corrupt bloom blob: expected array of $len bytes, got ${bytes.length - 20}")
+    require(len == end - 20, s"corrupt bloom blob: expected array of $len bytes, got ${end - 20}")
     val arr = java.util.Arrays.copyOfRange(bytes, 0, len)
-    new BloomSketch(n, p, k, m, arr, added, FnvBloomHasher)
+    new BloomSketch(n, p, k, m, arr, added, hasher)
   }
 
   /** Inverse of [[BloomSketch.toHexString]] (`bloom.c:272-303`). Like the

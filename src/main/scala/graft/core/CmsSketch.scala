@@ -28,11 +28,14 @@ final class CmsSketch private (
 
   def totalCount: Long = _totalCount
 
-  // Double-hashing row family: bucket_i = (h1 + i*h2) mod width with h1 =
-  // FNV-1a, h2 odd from splitmix64(h1) — one pass over the key bytes for
-  // all depth rows (Kirsch-Mitzenmacher 2006 shows the pairwise-independent
-  // family CMS needs is preserved). CMS has no reference byte format to
-  // match (unlike Bloom), so the cheaper family is free.
+  // Double-hashing row family: bucket_i = (h1 + i*h2) mod width. h1 and h2
+  // come from two INDEPENDENTLY seeded FNV-1a passes (seeds 0 and 1 — the
+  // reference's seed family, `bloom.c:490-508`), so the pair is 128 bits:
+  // two keys only merge in all rows if they collide on both passes
+  // (birthday ~n^2/2^129, negligible at 10^12 keys). Deriving h2 from h1
+  // (e.g. splitmix64(h1)) would make any full h1 collision a full-table
+  // collision — expected at ~2^32.5 keys. Two passes over the key bytes
+  // total, instead of `depth` passes for per-row seeded hashing.
   private def baseHash(key: Array[Byte]): Long = Fnv.fnv1a(key, 0)
   private def rowBucket(h1: Long, h2: Long, row: Int): Int =
     java.lang.Long.remainderUnsigned(h1 + row.toLong * h2, width.toLong).toInt
@@ -42,7 +45,7 @@ final class CmsSketch private (
   def add(key: Array[Byte], count: Long): Unit = {
     require(count >= 0, "negative counts not supported")
     val h1 = baseHash(key)
-    val h2 = Fnv.splitmix64(h1) | 1L
+    val h2 = Fnv.fnv1a(key, 1) | 1L
     var row = 0
     while (row < depth) {
       table(row * width + rowBucket(h1, h2, row)) += count
@@ -55,7 +58,7 @@ final class CmsSketch private (
 
   def estimateCount(key: Array[Byte]): Long = {
     val h1 = baseHash(key)
-    val h2 = Fnv.splitmix64(h1) | 1L
+    val h2 = Fnv.fnv1a(key, 1) | 1L
     var mn = Long.MaxValue
     var row = 0
     while (row < depth) {

@@ -23,22 +23,29 @@ final class CountingBloomSketch private (
 
   def elementsAdded: Long = _elementsAdded
 
-  private def indices(key: String): Array[Int] = {
-    val hs = Fnv.hashes(key, numberHashes)
+  private def indices(key: String): Array[Int] =
+    indices(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def indices(key: Array[Byte]): Array[Int] = {
     val out = new Array[Int](numberHashes)
     var i = 0
     while (i < numberHashes) {
-      out(i) = java.lang.Long.remainderUnsigned(hs(i), numberBits).toInt
+      out(i) = java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits).toInt
       i += 1
     }
     out
   }
 
-  def add(key: String): Unit = {
-    val idx = indices(key)
+  def add(key: String): Unit =
+    add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Byte-path hot loop (the UDAF update path): seeded FNV passes computed
+    * inline on the UTF-8 bytes — no String materialization per row.
+    */
+  def add(key: Array[Byte]): Unit = {
     var i = 0
-    while (i < idx.length) {
-      val j = idx(i)
+    while (i < numberHashes) {
+      val j = java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits).toInt
       if (counters(j) != Int.MaxValue) counters(j) += 1
       i += 1
     }
@@ -59,23 +66,28 @@ final class CountingBloomSketch private (
     if (_elementsAdded > 0) _elementsAdded -= 1
   }
 
-  def contains(key: String): Boolean = {
-    val idx = indices(key)
+  def contains(key: String): Boolean =
+    contains(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def contains(key: Array[Byte]): Boolean = {
     var i = 0
-    while (i < idx.length) {
-      if (counters(idx(i)) == 0) return false
+    while (i < numberHashes) {
+      if (counters(java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits).toInt) == 0) return false
       i += 1
     }
     true
   }
 
   /** Upper bound on the key's insert count: min over its k counters. */
-  def estimateCount(key: String): Int = {
-    val idx = indices(key)
+  def estimateCount(key: String): Int =
+    estimateCount(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def estimateCount(key: Array[Byte]): Int = {
     var mn = Int.MaxValue
     var i = 0
-    while (i < idx.length) {
-      if (counters(idx(i)) < mn) mn = counters(idx(i))
+    while (i < numberHashes) {
+      val v = counters(java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), numberBits).toInt)
+      if (v < mn) mn = v
       i += 1
     }
     mn
@@ -90,18 +102,37 @@ final class CountingBloomSketch private (
     * a counting filter over the removed keys with the same geometry, then
     * subtract it (the distributed analog of per-key `remove`, which is the
     * reference family's decrement).
+    *
+    * '''Hazard (same caveat as the reference family's `remove`)''': this is
+    * only clean when every subtracted key was actually added to the
+    * receiver and no counter saturated. Subtracting a batch containing
+    * never-added keys decrements whatever buckets those keys hash to —
+    * colliding counters of OTHER keys — and can introduce false negatives
+    * for keys that remain. The filter cannot detect misuse (the 0-floor
+    * hides the underflow); callers own the add⊇remove discipline. The
+    * returned [[flooredBuckets]] count from the last subtract is an
+    * observable signal: a nonzero floor count means the subtraction was
+    * not clean (some bucket would have gone negative).
     */
   def subtractInPlace(other: CountingBloomSketch): CountingBloomSketch = {
     require(compatibleWith(other), "incompatible counting blooms")
+    var floored = 0L
     var i = 0
     while (i < counters.length) {
       val d = counters(i) - other.counters(i)
-      counters(i) = if (d < 0) 0 else d
+      if (d < 0) { counters(i) = 0; floored += 1 } else counters(i) = d
       i += 1
     }
+    _flooredBuckets = floored
     _elementsAdded = math.max(0L, _elementsAdded - other._elementsAdded)
     this
   }
+
+  /** Buckets floored at 0 by the LAST [[subtractInPlace]] — nonzero means
+    * the subtracted batch contained keys (or counts) never added here.
+    */
+  def flooredBuckets: Long = _flooredBuckets
+  @transient private var _flooredBuckets: Long = 0L
 
   /** Element-wise saturating counter add — the aggregation merge. */
   def mergeInPlace(other: CountingBloomSketch): CountingBloomSketch = {

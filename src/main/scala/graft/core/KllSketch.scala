@@ -79,7 +79,17 @@ final class KllSketch private (
         // all under individual caps but over total: compact the fullest
         h = levels.indices.maxBy(i => levels(i).length - caps(i))
       }
+      val before = retained
       compactLevel(h)
+      if (retained >= before) {
+        // No progress (possible only if the incrementally-maintained
+        // `retained` counter drifted from the actual levels): resync from
+        // ground truth and stop rather than loop forever. If genuinely
+        // over capacity after resync, the next add() re-enters here with
+        // consistent state.
+        refreshCaches()
+        return
+      }
     }
   }
 

@@ -98,6 +98,44 @@ case class BloomMightContain(left: Expression, right: Expression) extends BloomB
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain = copy(l, r)
 }
 
+/** `sharded_bloom_probe(bucket, key)` over a REAL broadcast variable of
+  * shard blobs — the medium-B probe path of [[graft.pipeline.ShardedBloom]].
+  *
+  * The broadcast handle rides the expression into each task; tasks read
+  * `.value` (one torrent-fetched copy per executor), so the PLAN carries
+  * ~nothing — unlike a literal array of blobs, which embeds B × blob bytes
+  * in every serialized task (the scale failure this replaces). Per-shard
+  * deserialization is memoized by blob identity via [[SketchCache]]
+  * (broadcast element references are stable per executor).
+  * Codegen'd — this is the per-row hot path of a sharded semi-join.
+  */
+case class ShardedBloomProbe(left: Expression, right: Expression,
+    shards: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+    extends BinaryExpression with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[BloomSketch]
+  override def prettyName: String = "sharded_bloom_probe"
+  override def dataType: DataType = BooleanType
+  override protected def expectedTypes = Seq(Seq(LongType), GraftTypeCheck.stringOrBinary)
+  private def probeBlob(bucket: Long, key: Array[Byte]): Boolean = {
+    val blob = shards.value(bucket.toInt)
+    cache.get(blob, BloomSketch.deserialize).contains(key)
+  }
+  def probe(bucket: Long, key: UTF8String): Boolean = probeBlob(bucket, key.getBytes)
+  def probe(bucket: Long, key: Array[Byte]): Boolean = probeBlob(bucket, key)
+  override def nullSafeEval(bucket: Any, key: Any): Any = {
+    val k = right.dataType match {
+      case StringType => key.asInstanceOf[UTF8String].getBytes
+      case BinaryType => key.asInstanceOf[Array[Byte]]
+    }
+    probeBlob(bucket.asInstanceOf[Long], k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sbp", this, classOf[ShardedBloomProbe].getName)
+    nullSafeCodeGen(ctx, ev, (b, key) => s"${ev.value} = $self.probe($b, $key);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShardedBloomProbe = copy(l, r)
+}
+
 private[graft] abstract class BloomUnaryFn extends UnaryExpression with CodegenFallback with GraftTypeCheck {
   @transient protected lazy val cache = new SketchCache[BloomSketch]
   override protected def expectedTypes = Seq(GraftTypeCheck.binary)
@@ -247,28 +285,50 @@ case class CbfSubtract(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CbfSubtract = copy(l, r)
 }
 
-/** `cbf_contains(blob, key)` / `cbf_count(blob, key)` — counting-Bloom probes. */
+/** `cbf_count(blob, key)` — counting-Bloom frequency-floor probe.
+  * Codegen'd (NOT CodegenFallback — see the IS-A exclusion note above): a
+  * `cbf_count(lit(blob), col)` filter/select is a per-row hot path.
+  */
 case class CbfCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+    extends BinaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[CountingBloomSketch]
   override def prettyName: String = "cbf_count"
   override def dataType: DataType = IntegerType
-  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.string)
-  override def nullSafeEval(blob: Any, key: Any): Any =
-    cache.get(blob.asInstanceOf[Array[Byte]], CountingBloomSketch.deserialize)
-      .estimateCount(key.asInstanceOf[UTF8String].toString)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
+  private def sketchOf(blob: Array[Byte]): CountingBloomSketch =
+    cache.get(blob, CountingBloomSketch.deserialize)
+  def probe(blob: Array[Byte], key: UTF8String): Int = sketchOf(blob).estimateCount(key.getBytes)
+  def probe(blob: Array[Byte], key: Array[Byte]): Int = sketchOf(blob).estimateCount(key)
+  override def nullSafeEval(blob: Any, key: Any): Any = {
+    val k = right.dataType match {
+      case StringType => key.asInstanceOf[UTF8String].getBytes
+      case BinaryType => key.asInstanceOf[Array[Byte]]
+    }
+    sketchOf(blob.asInstanceOf[Array[Byte]]).estimateCount(k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cbfc", this, classOf[CbfCount].getName)
+    nullSafeCodeGen(ctx, ev, (blob, key) => s"${ev.value} = $self.probe($blob, $key);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CbfCount = copy(l, r)
 }
 
-/** `hll_estimate(blob)` — HLL cardinality estimate, rounded to Long. */
+/** `hll_estimate(blob)` — HLL cardinality estimate, rounded to Long.
+  * Codegen'd: typically fed per-group blobs (e.g. the flagship per-lang
+  * query) where it sits inside a project over many groups.
+  */
 case class HllEstimate(child: Expression)
-    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+    extends UnaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[HllSketch]
   override def prettyName: String = "hll_estimate"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary)
-  override def nullSafeEval(blob: Any): Any =
-    cache.get(blob.asInstanceOf[Array[Byte]], HllSketch.deserialize).estimateLong
+  def probe(blob: Array[Byte]): Long = cache.get(blob, HllSketch.deserialize).estimateLong
+  override def nullSafeEval(blob: Any): Any = probe(blob.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hlle", this, classOf[HllEstimate].getName)
+    nullSafeCodeGen(ctx, ev, blob => s"${ev.value} = $self.probe($blob);")
+  }
   override protected def withNewChildInternal(c: Expression): HllEstimate = copy(c)
 }
 
@@ -285,19 +345,29 @@ case class HllMergeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HllMergeExpr = copy(l, r)
 }
 
-/** `cms_query(blob, key)` — count-min point query (never underestimates). */
+/** `cms_query(blob, key)` — count-min point query (never underestimates).
+  * Codegen'd: `cms_query(lit(blob), col)` in a heavy-hitter filter/select
+  * is a per-row hot path; keep the stage in whole-stage codegen.
+  */
 case class CmsQuery(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+    extends BinaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[CmsSketch]
   override def prettyName: String = "cms_query"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
+  private def sketchOf(blob: Array[Byte]): CmsSketch = cache.get(blob, CmsSketch.deserialize)
+  def probe(blob: Array[Byte], key: UTF8String): Long = sketchOf(blob).estimateCount(key.getBytes)
+  def probe(blob: Array[Byte], key: Array[Byte]): Long = sketchOf(blob).estimateCount(key)
   override def nullSafeEval(blob: Any, key: Any): Any = {
     val k = right.dataType match {
       case StringType => key.asInstanceOf[UTF8String].getBytes
       case BinaryType => key.asInstanceOf[Array[Byte]]
     }
-    cache.get(blob.asInstanceOf[Array[Byte]], CmsSketch.deserialize).estimateCount(k)
+    sketchOf(blob.asInstanceOf[Array[Byte]]).estimateCount(k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cmsq", this, classOf[CmsQuery].getName)
+    nullSafeCodeGen(ctx, ev, (blob, key) => s"${ev.value} = $self.probe($blob, $key);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery = copy(l, r)
 }

@@ -30,6 +30,15 @@ object functions {
   def bloom_sketch(c: Column, estimatedElements: Long, fpp: Float): Column =
     col(BloomSketchAgg(ex(c), estimatedElements, fpp).toAggregateExpression())
 
+  /** Bloom filter under a custom hash family — the UDAF surface of the
+    * reference's `set_hash_function`. The family must be registered
+    * ([[graft.core.BloomHasher.register]]) in every JVM that deserializes
+    * the blobs; the two built-ins ("fnv1a-seeded", "poly31-mix64") always
+    * are. From SQL: `bloom_sketch(col, n, p, 'poly31-mix64')`.
+    */
+  def bloom_sketch(c: Column, estimatedElements: Long, fpp: Float, hasher: graft.core.BloomHasher): Column =
+    col(BloomSketchAgg(ex(c), estimatedElements, fpp, hasher).toAggregateExpression())
+
   /** Counting Bloom filter (supports removal / frequency floors). */
   def counting_bloom_sketch(c: Column, estimatedElements: Long, fpp: Float): Column =
     col(CountingBloomSketchAgg(ex(c), estimatedElements, fpp).toAggregateExpression())
@@ -135,7 +144,9 @@ object functions {
 
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "bloom_sketch" -> ((es: Seq[Expression]) =>
-      BloomSketchAgg(es(0), longLit(es(1), "n"), doubleLit(es(2), "p").toFloat).toAggregateExpression()),
+      BloomSketchAgg(es(0), longLit(es(1), "n"), doubleLit(es(2), "p").toFloat,
+        if (es.length > 3) graft.core.BloomHasher.lookup(String.valueOf(constVal(es(3), "hasher")))
+        else graft.core.FnvBloomHasher).toAggregateExpression()),
     "counting_bloom_sketch" -> ((es: Seq[Expression]) =>
       CountingBloomSketchAgg(es(0), longLit(es(1), "n"), doubleLit(es(2), "p").toFloat).toAggregateExpression()),
     "hll_sketch" -> ((es: Seq[Expression]) =>

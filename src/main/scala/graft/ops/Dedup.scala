@@ -31,6 +31,26 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Scale guard shared by the LSH banding joins: drop (band-)buckets with
+    * more than `cap` members before the self-join. A bucket shared by F
+    * docs emits F²/2 join rows — on web corpora, boilerplate/empty
+    * documents produce identical signatures, so ONE hot bucket at F=10⁶
+    * is a 5·10¹¹-row join. The hot set (only buckets OVER the cap) is
+    * tiny, so the anti-join broadcasts. Recall note: members of a dropped
+    * bucket can still pair through their other (non-hot) bands/chunks;
+    * exact-duplicate classes — the usual cause of hot buckets — should be
+    * routed through [[exactGroups]] first (see [[nearDupPairsScaled]]),
+    * which finds them with zero recall loss and keeps banding linear.
+    */
+  private def dropHotBuckets(banded: DataFrame, keyCols: Seq[String], cap: Long): DataFrame =
+    if (cap == Long.MaxValue) banded
+    else {
+      val ks = keyCols.map(col)
+      val hot = banded.groupBy(ks: _*).agg(count(lit(1)).as("f"))
+        .filter(col("f") > cap).select(ks: _*)
+      banded.join(broadcast(hot), keyCols, "left_anti")
+    }
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * Signature of `numHashes` minhashes split into `bands` bands of
@@ -38,20 +58,23 @@ object Dedup {
     * candidate pair; pairs are then scored by full-signature agreement
     * (estimated Jaccard) and filtered at `threshold`.
     *
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    * `maxBandFreq` caps band-bucket membership (see [[dropHotBuckets]]) —
+    * REQUIRED at web scale; the uncapped default keeps small-corpus runs
+    * exact. Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7, maxBandFreq: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("id"), minhash_signature(col(textCol), numHashes, shingleWidth).as("sig"))
     // one row per (doc, band): bucket key = hash of the band's slice
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBandFreq)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     // score BEFORE distinct: est_jaccard is a pure function of the pair, so
@@ -72,13 +95,14 @@ object Dedup {
     * documented trade, standard practice).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
+                   maxDistance: Int = 3, maxChunkFreq: Long = Long.MaxValue): DataFrame = {
     val h = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val chunked = h.select(col("id"), col("sh"),
+    val chunked0 = h.select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "ck")
+    val chunked = dropHotBuckets(chunked0, Seq("chunk", "ck"), maxChunkFreq)
     val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
     // hamming before distinct (pure function of the pair): filters early
@@ -131,6 +155,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("uni"))
   }
 
+  /** The web-scale near-dup pipeline: exact duplicates routed through
+    * content fingerprints FIRST, MinHash-LSH banding (with the hot-bucket
+    * cap engaged) only over the distinct-content representatives.
+    *
+    * Why this shape survives 100 TB: exact-duplicate classes are exactly
+    * what makes band buckets hot (identical text ⇒ identical signature ⇒
+    * every band collides), and a class of F copies would emit F²/2 join
+    * rows through EVERY band. Routing them through [[exactGroups]] finds
+    * the same duplicates as one linear hash-shuffle (star edges to the
+    * kept id, F-1 rows per class), and banding then runs on one
+    * representative per distinct content — the cap only ever drops
+    * genuinely-adversarial near-(but-not-exact-)dup signature classes.
+    *
+    * Returns (id_a, id_b, est_jaccard, kind) with id_a < id_b;
+    * kind ∈ ('exact', 'near'); exact edges carry est_jaccard = 1.0.
+    */
+  def nearDupPairsScaled(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                         threshold: Double = 0.7, maxBandFreq: Long = 1000L): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), doc_fingerprint(col(textCol)).as("fp"))
+    val keep = ids.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+    // star edges: every non-kept member pairs with its class keeper
+    // (keeper is the min id, so keep_id < id always ⇒ ordered pairs)
+    val exactEdges = ids.join(keep, "fp")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("est_jaccard"), lit("exact").as("kind"))
+    // banding over one representative per distinct content only
+    val reps = df.join(keep.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val nearEdges = minHashPairs(reps, idCol, textCol, numHashes, bands,
+        shingleWidth, threshold, maxBandFreq)
+      .withColumn("kind", lit("near"))
+    exactEdges.unionAll(nearEdges)
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold, LSH-bucketed:
     * random-hyperplane sign bits (Charikar 2002) bucket the vectors; only
     * same-bucket pairs are compared exactly. `planes` controls the
@@ -139,9 +198,10 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, planes: Int = 8,
-                            seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                            seed: Long = 42L, maxBucketFreq: Long = Long.MaxValue): DataFrame = {
+    val bucketed0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+    val bucketed = dropHotBuckets(bucketed0, Seq("bucket"), maxBucketFreq)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

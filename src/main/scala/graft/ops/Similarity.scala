@@ -95,9 +95,22 @@ object Similarity {
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .as[(Long, Seq[Float])]
-    // deterministic sample: smallest hash ranks
+    // Deterministic sample WITHOUT a full-corpus sort: a count (parquet
+    // answers from row-group metadata) sizes a hash-threshold filter that
+    // passes ~2× sampleSize rows in one narrow scan; the tie-break sort
+    // runs over only those survivors (TakeOrdered on ~2·sampleSize rows).
+    // Same sample semantics as before — smallest xxhash64(_id) ranks, so
+    // the trained quantizer is stable across runs and partitionings — but
+    // the previous orderBy(hash).limit shuffled/partially-sorted the WHOLE
+    // corpus to pick 4096 rows, a scale killer at 10^11 vectors.
+    val total = typed.count()
+    val granularity = 1L << 20
+    val cut = if (total <= sampleSize) granularity
+      else math.min(granularity, granularity * 2L * sampleSize / total + 1L)
     val sample = typed.toDF("_id", "_v")
-      .orderBy(xxhash64(col("_id"))).limit(sampleSize)
+      .filter(pmod(xxhash64(col("_id")), lit(granularity)) < lit(cut))
+      .orderBy(pmod(xxhash64(col("_id")), lit(granularity)), xxhash64(col("_id")), col("_id"))
+      .limit(sampleSize)
       .as[(Long, Seq[Float])].collect().map(_._2.toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length

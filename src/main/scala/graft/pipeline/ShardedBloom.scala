@@ -1,7 +1,9 @@
 package graft.pipeline
 
+import graft.expr.ShardedBloomProbe
 import graft.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sharded Bloom filter — the 10^12-key deployment shape.
@@ -16,14 +18,27 @@ import org.apache.spark.sql.functions._
   *    buffers of its buckets;
   *  - '''probe''' = route the key to its bucket's filter — same FPR math
   *    per bucket, zero false negatives overall;
-  *  - '''storage''' = a (bucket, sketch) parts table; small B fits in a
-  *    driver/broadcast array, large B stays distributed and probes become
-  *    a bucket-equi-join against the parts table.
+  *  - '''storage''' = a (bucket, sketch) parts table.
+  *
+  * Probe paths by shard-set size (all three produce identical answers —
+  * tested shard-for-shard in ShardedBloomSpec and q26/q29):
+  *
+  *  1. '''medium B (all blobs fit one executor's memory — up to a few GB)''':
+  *     [[mightContain]] ships the blobs ONCE per executor as a real Spark
+  *     broadcast variable read by a codegen'd custom expression
+  *     ([[graft.expr.ShardedBloomProbe]]). The plan and each serialized
+  *     task stay small — never a literal array of blobs in the plan.
+  *  2. '''large B (the parts table itself is TB-scale)''': [[semiJoin]]
+  *     keeps the parts table distributed and probes via a bucket-equi-join:
+  *     the probe side is hashed on its bucket (one shuffle — or zero, see
+  *     below), each reduce task holds only its buckets' blobs, and the
+  *     codegen'd `bloom_might_contain` filters in place.
   *
   * The bucket function is `pmod(xxhash64(key), B)` — the same stable
   * hash family as [[graft.data.TableIO.urlBucket]], so a table already
   * bucket-partitioned by key probes its co-located shard without any
-  * shuffle.
+  * shuffle (Spark reuses the existing hash partitioning; with `buckets` a
+  * multiple of the table's bucket count the join is storage-co-located).
   */
 object ShardedBloom {
 
@@ -38,8 +53,10 @@ object ShardedBloom {
       .agg(bloom_sketch(col("__k"), perShard, p).as("sketch"))
   }
 
-  /** Collect a (small-B) parts table into a probe-ready array: index i =
-    * bucket i's blob (empty-filter blob for buckets with no rows).
+  /** Collect a (medium-B) parts table into a probe-ready array: index i =
+    * bucket i's blob (empty-filter blob for buckets with no rows). The
+    * array is sized B × blob bytes on the driver — use [[semiJoin]] when
+    * that no longer fits.
     */
   def collectShards(parts: DataFrame, totalN: Long, p: Float, buckets: Int): Array[Array[Byte]] = {
     val perShard = math.max(totalN / buckets, 1L)
@@ -48,14 +65,40 @@ object ShardedBloom {
     Array.tabulate(buckets)(b => m.getOrElse(b, empty))
   }
 
-  /** Probe column: routes `key` to its shard and probes it. `shards` is
-    * the [[collectShards]] array (becomes one broadcast literal; each
-    * task deserializes only the shards it actually probes, memoized).
+  /** Probe column: routes `key` to its shard and probes it. The shard
+    * array becomes ONE broadcast variable (torrent-distributed, one copy
+    * per executor) read by a codegen'd expression — the plan carries only
+    * the broadcast handle, so task size is independent of B × blob bytes.
     */
-  def mightContain(shards: Array[Array[Byte]], key: Column): Column = {
-    val arr = array(shards.map(lit(_)): _*)
-    bloom_might_contain(
-      element_at(arr, (bucketOf(key.cast("string"), shards.length) + 1).cast("int")),
-      key.cast("string"))
+  def mightContain(shards: Array[Array[Byte]], key: Column): Column =
+    mightContain(SparkSession.active.sparkContext.broadcast(shards), key)
+
+  /** As [[mightContain]] with a caller-managed broadcast (reuse one
+    * broadcast across many probe queries; `destroy()` it when done).
+    */
+  def mightContain(shards: Broadcast[Array[Array[Byte]]], key: Column): Column = {
+    val k = key.cast("string")
+    val bucket = bucketOf(k, shards.value.length)
+    GraftSqlBridge.column(ShardedBloomProbe(
+      GraftSqlBridge.expression(bucket), GraftSqlBridge.expression(k), shards))
+  }
+
+  /** Large-B probe path: rows of `df` whose key might be in the sharded
+    * filter, via a bucket-equi-join against the DISTRIBUTED parts table —
+    * no blob ever reaches the driver or the plan.
+    *
+    * Plan shape: `df` exchanges on `bucket` (the ONLY shuffle — zero if
+    * `df` is already bucket-partitioned by the same hash), joins its one
+    * part row, and the codegen'd `bloom_might_contain` filters in place.
+    * Empty buckets have no part row, so the inner join correctly drops
+    * their probes (an empty shard contains nothing). With a small parts
+    * table Spark's own size estimate turns this into a broadcast-hash
+    * join automatically — i.e. path 1's data movement with path 2's code.
+    */
+  def semiJoin(df: DataFrame, keyCol: String, parts: DataFrame, buckets: Int): DataFrame = {
+    val in = df.withColumn("__gb", bucketOf(col(keyCol).cast("string"), buckets))
+    in.join(parts.withColumnRenamed("bucket", "__gb"), Seq("__gb"))
+      .filter(bloom_might_contain(col("sketch"), col(keyCol).cast("string")))
+      .drop("__gb", "sketch")
   }
 }

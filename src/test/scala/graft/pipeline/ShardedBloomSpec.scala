@@ -31,6 +31,42 @@ class ShardedBloomSpec extends AnyFunSuite {
       ShardedBloom.build(sparse, "k", 1000L, 0.01f, 16), 1000L, 0.01f, 16)
     assert(sparse.filter(!ShardedBloom.mightContain(sparseShards, col("k"))).count() == 0)
   }
+
+  test("large-B probe path: bucket-equi-join against the distributed parts table == broadcast path") {
+    val members = (0 until 20000).map(i => s"key-$i")
+    val df = members.toDF("k")
+    val parts = ShardedBloom.build(df, "k", 20000L, 0.01f, 16)
+    val shards = ShardedBloom.collectShards(parts, 20000L, 0.01f, 16)
+
+    val probes = ((0 until 5000).map(i => s"key-${i * 4}") ++
+      (0 until 5000).map(i => s"miss-$i")).toDF("k")
+    val viaBroadcast = probes.filter(ShardedBloom.mightContain(shards, col("k")))
+      .as[String].collect().toSet
+    val viaJoin = ShardedBloom.semiJoin(probes, "k", parts, 16)
+      .as[String].collect().toSet
+    assert(viaJoin == viaBroadcast, "the two probe paths must answer identically")
+    // zero false negatives through the join path too
+    assert((0 until 5000).map(i => s"key-${i * 4}").toSet.subsetOf(viaJoin))
+
+    // empty buckets: probes whose bucket has no part row are dropped by the
+    // inner join (an empty shard contains nothing) — never a crash
+    val sparseParts = ShardedBloom.build(Seq("a").toDF("k"), "k", 1000L, 0.01f, 64)
+    val res = ShardedBloom.semiJoin(Seq("a", "zzz-not-there").toDF("k"), "k", sparseParts, 64)
+      .as[String].collect().toSet
+    assert(res.contains("a"))
+  }
+
+  test("broadcast probe: plan does not embed shard blobs as literals") {
+    val df = (0 until 5000).map(i => s"key-$i").toDF("k")
+    val shards = ShardedBloom.collectShards(
+      ShardedBloom.build(df, "k", 5000L, 0.01f, 8), 5000L, 0.01f, 8)
+    val probed = df.filter(ShardedBloom.mightContain(shards, col("k")))
+    // a literal array of 8 blobs would put ~8x1.2KB of hex into the plan
+    // string; the broadcast-handle plan stays small
+    val planLen = probed.queryExecution.executedPlan.toString.length
+    assert(planLen < 5000, s"plan unexpectedly large ($planLen chars) — blobs inlined?")
+    assert(probed.count() == 5000)
+  }
 }
 
 /** Generic checkpoint/resume over a non-Bloom sketch (HLL): kill-mid-job
