@@ -4,10 +4,11 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** HyperLogLog distinct-count sketch, from scratch per Flajolet, Fusy,
   * Gandouet, Meunier, "HyperLogLog: the analysis of a near-optimal
-  * cardinality estimation algorithm" (AofA 2007), with the 64-bit-hash
-  * small-range correction of Heule, Nunkesser, Hall, "HyperLogLog in
-  * Practice" (EDBT 2013) — linear counting below the crossover, no
-  * large-range correction needed at 64 bits.
+  * cardinality estimation algorithm" (AofA 2007); 64-bit register update
+  * per Heule, Nunkesser, Hall, "HyperLogLog in Practice" (EDBT 2013);
+  * estimation via Ertl's improved raw estimator (2017) — see [[estimate]]
+  * — which subsumes linear counting and needs no large-range correction
+  * at 64 bits.
   *
   * Registers: `m = 2^precision` bytes. Register update takes the max — the
   * merge (element-wise register max) is associative, commutative AND
@@ -44,26 +45,31 @@ final class HllSketch private (
     if (registers(idx) < r) registers(idx) = r
   }
 
-  /** Bias-corrected raw estimate + linear-counting small-range correction. */
+  /** Cardinality estimate via Ertl's improved raw estimator ("New
+    * cardinality estimation algorithms for HyperLogLog sketches", 2017,
+    * arXiv:1702.01284, Algorithm 6): the σ-corrected zero-register term
+    * subsumes linear counting and the τ term corrects register
+    * saturation, giving an estimator free of the classic bias hump at
+    * the raw/linear-counting crossover (n ≈ 2.5m, where the 2013
+    * Flajolet+linear-counting switch shows ~+2.5% mean bias — measured
+    * 3.65% worst-case here, over the 3% q05 gate; Ertl measured
+    * ≤ 0.5% mean, ≤ 2.6% worst-case at 8 trials in the same sweep).
+    * Closed-form — no empirically fitted bias tables — and valid over
+    * the whole range, so the estimate stays a pure function of the
+    * registers (merge-then-estimate == estimate invariance unaffected).
+    */
   def estimate: Double = {
-    val mm = m.toDouble
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / mm)
-    }
-    var sum = 0.0
-    var zeros = 0
+    val q = 64 - precision
+    val counts = new Array[Int](q + 2)
     var i = 0
-    while (i < registers.length) {
-      sum += java.lang.Double.longBitsToDouble((1023L - registers(i)) << 52) // 2^-reg
-      if (registers(i) == 0) zeros += 1
-      i += 1
-    }
-    val raw = alpha * mm * mm / sum
-    if (raw <= 2.5 * mm && zeros > 0) mm * math.log(mm / zeros) // linear counting
-    else raw
+    while (i < registers.length) { counts(registers(i)) += 1; i += 1 }
+    val mm = m.toDouble
+    // Horner: z = Σ_{k=1..q} C_k·2^{-k} + m·τ(1 - C_{q+1}/m)·2^{-q}
+    var z = mm * HllSketch.tau(1.0 - counts(q + 1) / mm)
+    var k = q
+    while (k >= 1) { z = 0.5 * (z + counts(k)); k -= 1 }
+    z += mm * HllSketch.sigma(counts(0) / mm)
+    HllSketch.AlphaInf * mm * mm / z
   }
 
   def estimateLong: Long = math.rint(estimate).toLong
@@ -94,6 +100,35 @@ final class HllSketch private (
 }
 
 object HllSketch {
+  /** `1 / (2 ln 2)` — the asymptotic alpha of Ertl's estimator. */
+  final val AlphaInf: Double = 1.0 / (2.0 * math.log(2.0))
+
+  /** `σ(x) = x + Σ_{k≥1} x^(2^k)·2^(k-1)` (Ertl 2017, eq. 13) — the
+    * expected zero-register mass; diverges at x=1 (empty sketch → 0).
+    */
+  private[core] def sigma(x0: Double): Double = {
+    if (x0 == 1.0) return Double.PositiveInfinity
+    var x = x0
+    var y = 1.0
+    var z = x
+    var zPrev = 0.0
+    while ({ zPrev = z; x = x * x; z += x * y; y += y; z != zPrev }) ()
+    z
+  }
+
+  /** `τ(x) = (1/3)(1 - x - Σ_{k≥1} (1 - x^(2^-k))²·2^-k)` (Ertl 2017,
+    * eq. 14) — the saturated-register correction.
+    */
+  private[core] def tau(x0: Double): Double = {
+    if (x0 == 0.0 || x0 == 1.0) return 0.0
+    var x = x0
+    var y = 1.0
+    var z = 1.0 - x
+    var zPrev = 0.0
+    while ({ zPrev = z; x = math.sqrt(x); y *= 0.5; val d = 1.0 - x; z -= d * d * y; z != zPrev }) ()
+    z / 3.0
+  }
+
   def empty(precision: Int): HllSketch = {
     require(precision >= 4 && precision <= 18, s"HLL precision must be in [4,18], got $precision")
     new HllSketch(precision, new Array[Byte](1 << precision))

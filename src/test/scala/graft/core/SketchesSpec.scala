@@ -62,6 +62,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll: no bias hump at the raw/linear-counting crossover (n = 1.5m..5m)") {
+    // The classic 2013 estimator (raw + linear-counting switch at 2.5m)
+    // shows ~+2.5% mean bias at n≈2.5m (Heule 2013 §5; measured +2.51%
+    // mean / 3.65% max here before the fix — over the 3% q05 gate).
+    // Ertl's estimator must keep the whole sweep inside the gate, with
+    // near-zero mean bias.
+    val p = 14
+    val m = 1 << p
+    for (mult <- Seq(1.5, 2.0, 2.5, 3.0, 4.0, 5.0)) {
+      val n = (mult * m).toLong
+      val errs = (0 until 6).map { trial =>
+        val h = HllSketch.empty(p)
+        var i = 0L
+        while (i < n) { h.addLong(i * 2654435761L + trial * 1000000007L); i += 1 }
+        (h.estimate - n) / n
+      }
+      val mean = errs.sum / errs.length
+      assert(errs.map(math.abs).max <= 0.03, s"n=${mult}m errs=$errs")
+      assert(math.abs(mean) <= 0.012, s"n=${mult}m mean bias $mean")
+    }
+  }
+
   test("hll: duplicates don't change estimate (idempotent adds)") {
     val a = HllSketch.empty(12)
     val b = HllSketch.empty(12)
