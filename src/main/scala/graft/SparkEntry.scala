@@ -480,6 +480,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // --- CMS heavy hitters: skewed key (one hot key at ~10% among ~10k
+    // light keys), candidate superset via map-side cms_query filter, exact
+    // counts after — result is exact, oracle is plain GROUP BY/HAVING ---
+    "q31_heavy_hitters" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("l_orderkey") % 10000)).as("key"))
+      graft.ops.HeavyHitters.exact(li, "key", 0.01, 1e-4, 0.01)
+        .orderBy(col("key"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -723,6 +734,13 @@ object SparkEntry {
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
         | count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP (lang, source) ORDER BY 1, 2""".stripMargin,
+
+    "q31_heavy_hitters" ->
+      """WITH t AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 'hot'
+        |  ELSE 'k' || CAST(l_orderkey % 10000 AS VARCHAR) END AS key FROM lineitem),
+        |n AS (SELECT ceil(0.01 * count(*)) AS thresh FROM t)
+        |SELECT key, count(*) AS cnt FROM t GROUP BY 1
+        |HAVING count(*) >= (SELECT thresh FROM n) ORDER BY key""".stripMargin,
 
     "q23_bloom_estimators" ->
       """SELECT CAST(4872 AS BIGINT) AS est_5000, CAST(9792 AS BIGINT) AS est_10000,

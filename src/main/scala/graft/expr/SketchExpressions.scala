@@ -383,38 +383,61 @@ case class CmsTotalCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): CmsTotalCount = copy(c)
 }
 
-/** `tdigest_quantile(blob, q)` — t-digest quantile estimate. */
+/** `tdigest_quantile(blob, q)` — t-digest quantile estimate. Codegen'd:
+  * per-group blobs in a select (quantiles per lang/source group) are a
+  * per-row path.
+  */
 case class TDigestQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+    extends BinaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[TDigestSketch]
   override def prettyName: String = "tdigest_quantile"
   override def dataType: DataType = DoubleType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  def probe(blob: Array[Byte], q: Double): Double =
+    cache.get(blob, TDigestSketch.deserialize).quantile(q)
   override def nullSafeEval(blob: Any, q: Any): Any =
-    cache.get(blob.asInstanceOf[Array[Byte]], TDigestSketch.deserialize).quantile(q.asInstanceOf[Double])
+    probe(blob.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tdq", this, classOf[TDigestQuantile].getName)
+    nullSafeCodeGen(ctx, ev, (b, q) => s"${ev.value} = $self.probe($b, $q);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestQuantile = copy(l, r)
 }
 
-/** `kll_quantile(blob, q)` — KLL quantile estimate. */
+/** `kll_quantile(blob, q)` — KLL quantile estimate. Codegen'd. */
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+    extends BinaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[KllSketch]
   override def prettyName: String = "kll_quantile"
   override def dataType: DataType = DoubleType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  def probe(blob: Array[Byte], q: Double): Double =
+    cache.get(blob, KllSketch.deserialize).quantile(q)
   override def nullSafeEval(blob: Any, q: Any): Any =
-    cache.get(blob.asInstanceOf[Array[Byte]], KllSketch.deserialize).quantile(q.asInstanceOf[Double])
+    probe(blob.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("klq", this, classOf[KllQuantile].getName)
+    nullSafeCodeGen(ctx, ev, (b, q) => s"${ev.value} = $self.probe($b, $q);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile = copy(l, r)
 }
 
-/** `kll_rank(blob, x)` — normalized rank of a value. */
+/** `kll_rank(blob, x)` — normalized rank of a value. Codegen'd: ranking a
+  * whole column against one broadcast sketch is a per-row hot path.
+  */
 case class KllRank(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+    extends BinaryExpression with GraftTypeCheck {
   @transient private lazy val cache = new SketchCache[KllSketch]
   override def prettyName: String = "kll_rank"
   override def dataType: DataType = DoubleType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.double)
+  def probe(blob: Array[Byte], x: Double): Double =
+    cache.get(blob, KllSketch.deserialize).rank(x)
   override def nullSafeEval(blob: Any, x: Any): Any =
-    cache.get(blob.asInstanceOf[Array[Byte]], KllSketch.deserialize).rank(x.asInstanceOf[Double])
+    probe(blob.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("klr", this, classOf[KllRank].getName)
+    nullSafeCodeGen(ctx, ev, (b, x) => s"${ev.value} = $self.probe($b, $x);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank = copy(l, r)
 }

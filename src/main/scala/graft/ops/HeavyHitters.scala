@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.core.CmsSketch
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CMS-driven heavy hitters: all keys with frequency ≥ phi·N, EXACTLY.
+  *
+  * The 100-TB problem: an exact `groupBy(key).count` over 10^12 rows with
+  * billions of distinct keys shuffles everything. The count-min sketch's
+  * one-sided error (`true ≤ est ≤ true + eps·N` w.p. 1-δ, Cormode &
+  * Muthukrishnan 2005) makes the CMS candidate set a GUARANTEED superset
+  * of the true heavy hitters, so:
+  *
+  *  1. one aggregation builds the CMS (small, broadcastable blob);
+  *  2. a map-side codegen'd `cms_query` filter keeps only rows whose key
+  *     *might* be heavy — with `eps < phi - maxLightFreq/N` the surviving
+  *     fraction is ~the heavy mass, so the groupBy shuffle moves a sliver
+  *     of the corpus;
+  *  3. an exact count over the survivors drops the CMS false positives.
+  *
+  * The filter is a pure function of the key, so every row of a candidate
+  * key survives and the final counts are EXACT — the result equals
+  * `GROUP BY key HAVING count(*) >= ceil(phi*N)` (the oracle query),
+  * never an approximation. N comes from the blob's own totalCount
+  * (no extra count job).
+  */
+object HeavyHitters {
+
+  /** Keys of `df(keyCol)` with exact frequency ≥ ceil(phi·N), as
+    * (key, cnt) with exact counts. `eps` trades sketch size against the
+    * false-candidate fraction; keep `eps ≤ phi/10` so light keys rarely
+    * clear the threshold.
+    */
+  def exact(df: DataFrame, keyCol: String, phi: Double,
+            eps: Double = 1e-4, delta: Double = 0.01): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val key = col(keyCol)
+    val blob = df.agg(cms_sketch(key, eps, delta)).head.getAs[Array[Byte]](0)
+    val n = CmsSketch.deserialize(blob).totalCount
+    val thresh = math.ceil(phi * n).toLong
+    df.filter(cms_query(lit(blob), key) >= thresh)
+      .groupBy(key)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thresh)
+  }
+}

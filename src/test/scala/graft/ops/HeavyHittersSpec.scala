@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact heavy hitters: equals plain GROUP BY/HAVING, CMS filter only prunes") {
+    // 2 heavy keys (10% and 5%) over ~2000 light keys, 40k rows
+    val rows = (0 until 40000).map { i =>
+      if (i % 10 == 0) "hot-a"
+      else if (i % 20 == 1) "hot-b"
+      else s"light-${i % 2000}"
+    }
+    val df = rows.toDF("key")
+    val got = HeavyHitters.exact(df, "key", 0.03, 1e-3, 0.01)
+      .as[(String, Long)].collect().toMap
+    val thresh = math.ceil(0.03 * 40000).toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thresh).toMap
+    assert(got == want)
+    assert(got.keySet == Set("hot-a", "hot-b"))
+    // exact counts, not estimates
+    assert(got("hot-a") == 4000L && got("hot-b") == 2000L)
+  }
+
+  test("no heavy hitters -> empty result, not an error") {
+    val df = (0 until 5000).map(i => s"k${i % 1000}").toDF("key")
+    assert(HeavyHitters.exact(df, "key", 0.01, 1e-3, 0.01).count() == 0)
+  }
+}
