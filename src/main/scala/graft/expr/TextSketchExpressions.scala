@@ -2,8 +2,8 @@ package graft.expr
 
 import graft.core.Fnv
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,6 +18,45 @@ private[graft] object TextShingles {
   def tokens(s: String): Array[String] = {
     val t = s.trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** 64-bit content fingerprint: FNV-1a rolled over the whitespace-
+    * normalized tokens, splitmix-finalized. Shared by the
+    * `doc_fingerprint` expression and the streaming dedup operators so
+    * stream and batch agree on what "same content" means.
+    */
+  def fingerprint(s: String): Long = {
+    val ts = tokens(s)
+    var h = Fnv.OffsetBasis
+    var i = 0
+    while (i < ts.length) {
+      val bytes = ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < bytes.length) { h ^= (bytes(j) & 0xffL); h *= Fnv.Prime; j += 1 }
+      h ^= ' '.toLong; h *= Fnv.Prime // token boundary
+      i += 1
+    }
+    Fnv.splitmix64(h)
+  }
+
+  /** 64-bit simhash over whitespace tokens (Charikar 2002). */
+  def simhash(s: String): Long = {
+    val ts = tokens(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val h = Fnv.splitmix64(Fnv.fnv1a(ts(i), 0))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 
   /** Hashes of word w-shingles (w consecutive tokens), one pass. */
@@ -48,7 +87,7 @@ private[graft] object TextShingles {
   * fixed odd seeds — deterministic across runs and partitionings.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int)
-    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+    extends UnaryExpression with GraftTypeCheck {
   require(numHashes > 0 && numHashes <= 1024, s"numHashes in (0,1024], got $numHashes")
   require(shingleWidth > 0, s"shingleWidth > 0, got $shingleWidth")
 
@@ -59,8 +98,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => Fnv.splitmix64(0x5EED0000L + 2L * i + 1L))
 
-  override def nullSafeEval(v: Any): Any = {
-    val hs = TextShingles.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleWidth)
+  def probe(v: UTF8String): ArrayData = {
+    val hs = TextShingles.shingleHashes(v.toString, shingleWidth)
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -76,6 +115,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
     }
     new GenericArrayData(sig)
   }
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[UTF8String])
+  // codegen'd (not CodegenFallback): the signature is computed once per
+  // corpus row — the map-side hot path of LSH dedup at web scale
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mhs", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
+  }
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
@@ -85,41 +131,33 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
   * small Hamming distance.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+    extends UnaryExpression with GraftTypeCheck {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.string)
 
-  override def nullSafeEval(v: Any): Any = {
-    val ts = TextShingles.tokens(v.asInstanceOf[UTF8String].toString)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < ts.length) {
-      val h = Fnv.splitmix64(Fnv.fnv1a(ts(i), 0))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
+  def probe(v: UTF8String): Long = TextShingles.simhash(v.toString)
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sh64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
   }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
-/** `hamming64(a, b)` — Hamming distance between two 64-bit fingerprints. */
+/** `hamming64(a, b)` — Hamming distance between two 64-bit fingerprints.
+  * Codegen emits the popcount inline (no method call).
+  */
 case class Hamming64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback with GraftTypeCheck {
+    with GraftTypeCheck {
   override def prettyName: String = "hamming64"
   override def dataType: DataType = IntegerType
   override protected def expectedTypes = Seq(Seq(LongType), Seq(LongType))
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 = copy(l, r)
 }
 
@@ -128,22 +166,16 @@ case class Hamming64(left: Expression, right: Expression)
   * Equal fingerprints ⇔ equal normalized content (up to hash collision).
   */
 case class DocFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+    extends UnaryExpression with GraftTypeCheck {
   override def prettyName: String = "doc_fingerprint"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.string)
-  override def nullSafeEval(v: Any): Any = {
-    val ts = TextShingles.tokens(v.asInstanceOf[UTF8String].toString)
-    var h = Fnv.OffsetBasis
-    var i = 0
-    while (i < ts.length) {
-      val bytes = ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var j = 0
-      while (j < bytes.length) { h ^= (bytes(j) & 0xffL); h *= Fnv.Prime; j += 1 }
-      h ^= ' '.toLong; h *= Fnv.Prime // token boundary
-      i += 1
-    }
-    Fnv.splitmix64(h)
+  def probe(v: UTF8String): Long = TextShingles.fingerprint(v.toString)
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[UTF8String])
+  // codegen'd: exact dedup fingerprints every corpus row map-side
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dfp", this, classOf[DocFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
   }
   override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
 }

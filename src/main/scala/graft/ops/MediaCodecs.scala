@@ -1,0 +1,217 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM codecs for the multimodal pipeline: real parsers for simple
+  * standard formats, zero external dependencies.
+  *
+  *  - image: binary PPM (P6) — `"P6\n{w} {h}\n255\n"` + w·h·3 RGB bytes;
+  *  - audio: canonical WAV, PCM16 mono little-endian (44-byte RIFF
+  *    header + samples);
+  *  - video: a GVID container — MJPEG-style motion format of raw P6
+  *    frames: `"GVID" | frameCount:int32 LE | frames...`, each frame a
+  *    length-prefixed P6 image. Compressed codecs (H.264 etc.) remain
+  *    out of scope in this container (no codec libs); the container
+  *    parsing, frame indexing and per-frame decode below are real.
+  *
+  * Every parse failure returns None (malformed media rows surface as
+  * `decode_ok = false`, never an exception inside a task).
+  */
+object MediaCodecs {
+
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  // ---------------- PPM (P6) ----------------
+
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width x $height x 3")
+    val header = s"P6\n$width $height\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[Image] = decodePpm(bytes, 0, bytes.length)
+
+  private def decodePpm(bytes: Array[Byte], off: Int, len: Int): Option[Image] = {
+    // header: magic, whitespace-separated width/height/maxval, one ws byte
+    var i = off
+    val end = off + len
+    def token(): Option[String] = {
+      while (i < end && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+      val s = i
+      while (i < end && bytes(i) > ' ') i += 1
+      if (i > s) Some(new String(bytes, s, i - s, StandardCharsets.US_ASCII)) else None
+    }
+    try {
+      if (token().contains("P6")) {
+        for {
+          w <- token().map(_.toInt)
+          h <- token().map(_.toInt)
+          maxv <- token().map(_.toInt)
+          if maxv == 255 && w > 0 && h > 0
+          _ = { i += 1 } // single whitespace after maxval per spec
+          if end - i >= w * h * 3
+        } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+      } else None
+    } catch { case _: NumberFormatException => None }
+  }
+
+  // ---------------- WAV (PCM16 mono LE) ----------------
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Returns (sampleRate, samples) for a canonical PCM16-mono WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = { val a = new Array[Byte](n); buf.get(a); new String(a, StandardCharsets.US_ASCII) }
+    if (ascii(4) != "RIFF") return None
+    buf.getInt // riff size
+    if (ascii(4) != "WAVE" || ascii(4) != "fmt ") return None
+    val fmtLen = buf.getInt
+    val audioFormat = buf.getShort
+    val channels = buf.getShort
+    val sampleRate = buf.getInt
+    buf.getInt; buf.getShort // byte rate, block align
+    val bits = buf.getShort
+    if (audioFormat != 1 || channels != 1 || bits != 16 || fmtLen != 16) return None
+    if (ascii(4) != "data") return None
+    val dataLen = buf.getInt
+    if (dataLen < 0 || dataLen > buf.remaining()) return None
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+    Some((sampleRate, samples))
+  }
+
+  // ---------------- GVID (raw-frame motion container) ----------------
+
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(f => 4 + f.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes(StandardCharsets.US_ASCII)).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  def gvidFrameCount(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 8 || bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D') None
+    else {
+      val n = ByteBuffer.wrap(bytes, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (n >= 0) Some(n) else None
+    }
+  }
+
+  /** Decode frame `idx` without materializing the other frames (seek by
+    * length prefixes — the point of the container format).
+    */
+  def decodeGvidFrame(bytes: Array[Byte], idx: Int): Option[Image] = {
+    val count = gvidFrameCount(bytes)
+    if (count.isEmpty || idx < 0 || idx >= count.get) return None
+    var off = 8
+    var f = 0
+    while (f < idx) {
+      if (off + 4 > bytes.length) return None
+      val len = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (len < 0) return None
+      off += 4 + len
+      f += 1
+    }
+    if (off + 4 > bytes.length) return None
+    val len = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    if (len < 0 || off + 4 + len > bytes.length) return None
+    decodePpm(bytes, off + 4, len)
+  }
+
+  // ---------------- feature extraction (real math over decoded media) ----
+
+  /** Image features: [meanR, meanG, meanB, stdLuma, then an 8×8 grayscale
+    * thumbnail] padded/truncated to `dim`, all in [-0.5, 0.5].
+    */
+  def imageFeatures(img: Image, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = img.width * img.height
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var sl = 0.0
+    var sl2 = 0.0
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(i * 3) & 0xff
+      val g = img.rgb(i * 3 + 1) & 0xff
+      val b = img.rgb(i * 3 + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      sl += luma; sl2 += luma * luma
+      i += 1
+    }
+    if (dim > 0) out(0) = (sr.toFloat / n / 255f) - 0.5f
+    if (dim > 1) out(1) = (sg.toFloat / n / 255f) - 0.5f
+    if (dim > 2) out(2) = (sb.toFloat / n / 255f) - 0.5f
+    if (dim > 3) out(3) = (math.sqrt(math.max(sl2 / n - (sl / n) * (sl / n), 0.0)) / 255.0).toFloat
+    // 8x8 nearest-neighbor grayscale thumbnail into the remaining slots
+    var t = 0
+    while (t < 64 && 4 + t < dim) {
+      val tx = (t % 8) * img.width / 8
+      val ty = (t / 8) * img.height / 8
+      val p = (ty * img.width + tx) * 3
+      val luma = 0.299 * (img.rgb(p) & 0xff) + 0.587 * (img.rgb(p + 1) & 0xff) + 0.114 * (img.rgb(p + 2) & 0xff)
+      out(4 + t) = (luma / 255.0).toFloat - 0.5f
+      t += 1
+    }
+    out
+  }
+
+  /** Audio features: [rms, zero-crossing rate, then per-window RMS energy
+    * bins] padded/truncated to `dim`.
+    */
+  def audioFeatures(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var s2 = 0.0
+    var zc = 0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toDouble / 32768.0
+      s2 += v * v
+      if (i > 0 && (samples(i) ^ samples(i - 1)) < 0) zc += 1
+      i += 1
+    }
+    if (dim > 0) out(0) = math.sqrt(s2 / samples.length).toFloat
+    if (dim > 1) out(1) = zc.toFloat / samples.length
+    val bins = dim - 2
+    if (bins > 0) {
+      val win = math.max(samples.length / bins, 1)
+      var b = 0
+      while (b < bins) {
+        val from = b * win
+        val to = math.min(from + win, samples.length)
+        if (from < to) {
+          var e = 0.0
+          var j = from
+          while (j < to) { val v = samples(j).toDouble / 32768.0; e += v * v; j += 1 }
+          out(2 + b) = math.sqrt(e / (to - from)).toFloat
+        }
+        b += 1
+      }
+    }
+    out
+  }
+}

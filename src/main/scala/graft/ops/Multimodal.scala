@@ -22,87 +22,126 @@ case class MediaFeatures(
     features: Array[Float],
     decode_ok: Boolean)
 
-/** Multimodal (image/audio/video) processing plumbing.
+/** Multimodal (image/audio/video) processing over binary media columns.
   *
-  * The Spark side is real: schema, partition-preserving batch iteration,
-  * feature output shape, and the decode seam. The codec itself is a
-  * clearly-marked deterministic STUB — this container has no image/audio
-  * libraries, so `decodeStub` derives a fake feature vector from the bytes
-  * (splitmix64 rolling) where a production deployment would call the real
-  * decoder (e.g. via JNI/javacv) inside the same `mapPartitions` batch
-  * loop. Swapping the stub does not change any Spark plumbing.
+  * The decode path is REAL for the formats a JVM can parse without codec
+  * libraries (see [[MediaCodecs]]): P6 PPM images, PCM16-mono WAV audio,
+  * and a GVID raw-frame motion container for video — header parsing,
+  * per-frame seeking, and feature math (channel means, luma std,
+  * thumbnails, RMS/zero-crossing/energy bins) all run on the decoded
+  * pixels/samples. Compressed codecs (JPEG/H.264/Opus…) are the one seam
+  * left open — this container has no codec libs — and they would slot
+  * into the same per-partition decode loop without touching any Spark
+  * plumbing. Malformed media surfaces as `decode_ok = false`, never a
+  * task failure.
+  *
+  * Scale shape: `mapPartitions` batch iteration (the same batch shape
+  * `mapInPandas` gives a Python UDF) so a heavy decoder amortizes its
+  * init once per partition; feature output is a fixed-width
+  * `Array[Float]` column ready for the ANN/dedup operators
+  * ([[Similarity]], [[Dedup.embeddingNearDupPairs]]).
   */
 object Multimodal {
 
-  /** STUB decode: deterministic fake features from the raw bytes. A real
-    * implementation replaces only this function.
+  /** Real decode dispatch: parse by declared type, extract features from
+    * the decoded representation. Returns None when the bytes do not parse
+    * as the declared format.
     */
-  def decodeStub(media: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = Fnv.fnv1a(media, 0)
-    var i = 0
-    while (i < dim) {
-      h = Fnv.splitmix64(h)
-      out(i) = ((h >>> 40).toInt.toFloat / (1 << 24).toFloat) - 0.5f
-      i += 1
+  def decode(mediaType: String, media: Array[Byte], dim: Int): Option[Array[Float]] =
+    mediaType match {
+      case "image" => MediaCodecs.decodePpm(media).map(MediaCodecs.imageFeatures(_, dim))
+      case "audio" => MediaCodecs.decodeWav(media).map { case (_, s) => MediaCodecs.audioFeatures(s, dim) }
+      case "video" =>
+        // video-level features = first frame's image features + frame count
+        MediaCodecs.decodeGvidFrame(media, 0).map { img =>
+          val f = MediaCodecs.imageFeatures(img, dim)
+          if (dim > 0) f(dim - 1) = MediaCodecs.gvidFrameCount(media).getOrElse(0).toFloat
+          f
+        }
+      case _ => None
     }
-    out
-  }
 
   /** Feature extraction over a media table: `mapPartitions` so a real
-    * decoder amortizes model/codec init once per partition (the same
-    * batch shape `mapInPandas` would give a Python UDF).
+    * decoder amortizes codec/model init once per partition.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init point for a real codec/model goes here
+      // per-partition init point for a heavyweight codec/model goes here
       it.map { m =>
-        val ok = m.media != null && m.media.nonEmpty
-        val feats = if (ok) decodeStub(m.media, dim) else Array.empty[Float]
-        MediaFeatures(m.media_id, m.media_type, if (ok) dim else 0, feats, ok)
+        val feats =
+          if (m.media == null || m.media.isEmpty) None
+          else decode(m.media_type, m.media, dim)
+        MediaFeatures(m.media_id, m.media_type,
+          feats.map(_ => dim).getOrElse(0),
+          feats.getOrElse(Array.empty[Float]),
+          feats.isDefined)
       }
     }
   }
 
   /** Deterministic frame sampling for video rows: every `everyMs`
-    * millisecond offset (metadata-driven; the decode of each frame is the
-    * same stub seam). Emits (media_id, frame_ts_ms, frame_features).
+    * millisecond offset per the duration metadata; each sampled timestamp
+    * seeks and decodes its nearest contained frame (container frames are
+    * spread uniformly over the duration). Emits
+    * (media_id, frame_ts_ms, frame_features).
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.media_type == "video").flatMap { m =>
       val n = math.min(m.duration_ms / everyMs, 64L).toInt // cap frames/row
+      val contained = MediaCodecs.gvidFrameCount(m.media).getOrElse(0)
       (0 until n).map { f =>
         val ts = f * everyMs
-        // stub frame decode: seed the fake features by (bytes, frame ts)
-        val feats = decodeStub(m.media ++ java.nio.ByteBuffer.allocate(8).putLong(ts).array(), dim)
+        val frameIdx = if (contained == 0) -1
+          else math.min((ts * contained / math.max(m.duration_ms, 1L)).toInt, contained - 1)
+        val feats = MediaCodecs.decodeGvidFrame(m.media, frameIdx)
+          .map(MediaCodecs.imageFeatures(_, dim))
+          .getOrElse(new Array[Float](dim))
         (m.media_id, ts, feats)
       }
     }.toDF("media_id", "frame_ts_ms", "frame_features")
   }
 
-  /** Deterministic synthetic media table (for tests/bench — the decode is
-    * a stub anyway; what matters is byte volume + partitioning).
+  /** Deterministic synthetic media table: VALID media bytes per type —
+    * P6 PPM (image), PCM16 WAV (audio), GVID-of-PPM-frames (video) — with
+    * deterministic pixel/sample content, so the decode path in tests and
+    * benchmarks is the real parser, not a pass-through.
     */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int,
-                     bytesPerRow: Int = 4096, seed: Long = 42L): Dataset[MediaRow] = {
+                     seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
       val kind = (i % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes = new Array[Byte](bytesPerRow)
-      var h = seed ^ i
-      var j = 0
-      while (j < bytesPerRow) {
-        h = Fnv.splitmix64(h)
-        bytes(j) = h.toByte
-        j += 1
+      val w = 32 + (i % 8).toInt * 4
+      val h = 24 + (i % 6).toInt * 4
+      val durationMs = 1000L + (i % 60000L)
+      def rgb(frameSeed: Long, fw: Int, fh: Int): Array[Byte] = {
+        val px = new Array[Byte](fw * fh * 3)
+        var hh = seed ^ frameSeed
+        var j = 0
+        while (j < px.length) { hh = Fnv.splitmix64(hh); px(j) = hh.toByte; j += 1 }
+        px
       }
-      MediaRow(i, kind, bytes, 64 + (i % 512).toInt, 64 + (i % 256).toInt, 1000L + (i % 60000L))
+      val bytes = kind match {
+        case "image" => MediaCodecs.encodePpm(w, h, rgb(i, w, h))
+        case "audio" =>
+          val nSamples = math.min(durationMs, 8192L).toInt // 1 kHz synthetic rate
+          val samples = new Array[Short](nSamples)
+          var hh = seed ^ i
+          var j = 0
+          while (j < nSamples) { hh = Fnv.splitmix64(hh); samples(j) = (hh >>> 16).toShort; j += 1 }
+          MediaCodecs.encodeWav(1000, samples)
+        case _ =>
+          val frames = math.min(durationMs / 1000L, 16L).toInt.max(1)
+          MediaCodecs.encodeGvid((0 until frames).map(f =>
+            MediaCodecs.encodePpm(16, 12, rgb(i * 1000 + f, 16, 12))))
+      }
+      MediaRow(i, kind, bytes, w, h, durationMs)
     }
   }
 }
