@@ -196,6 +196,8 @@ object functions {
 
 /** `SparkSessionExtensions` hook — for cluster deployment via
   * `spark.sql.extensions=graft.GraftExtensions` (spark-submit path).
+  * Injects the SQL functions plus the [[graft.plans.RuntimeBloomJoin]]
+  * optimizer rule (off until `spark.graft.runtimeBloomJoin.enabled`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -205,5 +207,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         (es: Seq[Expression]) => builder(es)))
     }
+    e.injectPreCBORule(graft.plans.RuntimeBloomJoin)
   }
 }

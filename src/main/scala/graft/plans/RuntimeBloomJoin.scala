@@ -1,0 +1,128 @@
+package graft.plans
+
+import graft.agg.BloomSketchAgg
+import graft.expr.BloomMightContain
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Auto-injected runtime Bloom pre-filter for selective joins — the
+  * optimizer-`Rule` surface of the Bloom-semi-join pattern (q02), using
+  * this library's reference-semantics filter. Spark's own
+  * `InjectRuntimeFilter` is the design precedent; this rule exists so the
+  * graft sketch (FNV-1a family, reference geometry, export-compatible
+  * blob) is the one doing the filtering, and as the SURVEY §4.3 stretch
+  * deliverable (custom `Rule[LogicalPlan]` via `SparkSessionExtensions`).
+  *
+  * Rewrite: for an Inner/LeftSemi equi-join whose build (right) side is
+  * small and whose probe (left) side is ≥ `minSizeRatio` × larger,
+  *
+  * {{{ Join(L, R, k_L = k_R)  ⇒  Join(Filter(bloom_might_contain(<scalar-subquery: agg bloom_sketch(k_R) over R>, k_L), L), R, …) }}}
+  *
+  * Semantics are unchanged: the Bloom probe has zero false negatives, so
+  * the filter only removes L rows that cannot join; false positives pass
+  * through to the exact join. The build side runs as a scalar subquery
+  * (planned, optimized and column-pruned independently — only the key
+  * column is scanned); the blob is evaluated once and probed row-parallel
+  * inside whole-stage codegen.
+  *
+  * Off by default (`spark.graft.runtimeBloomJoin.enabled`); sizing knobs:
+  * `.maxBuildBytes` (build-side stats ceiling, default 64 MB),
+  * `.minSizeRatio` (probe/build size ratio floor, default 3),
+  * `.estimatedKeys` (filter capacity when row-count stats are absent,
+  * default 1M), `.fpp` (default 0.01).
+  *
+  * Deployment: `spark.sql.extensions=graft.GraftExtensions` (injected
+  * pre-CBO, runs once) or
+  * `spark.experimental.extraOptimizations ++= Seq(RuntimeBloomJoin(spark))`
+  * (fixpoint batch — the structural marker check makes the rewrite
+  * idempotent there).
+  */
+case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def flag(k: String, dflt: String): String =
+    conf.getConfString(s"spark.graft.runtimeBloomJoin.$k", dflt)
+
+  private def enabled = flag("enabled", "false").toBoolean
+  private def maxBuildBytes = flag("maxBuildBytes", (64L << 20).toString).toLong
+  private def minSizeRatio = flag("minSizeRatio", "3").toDouble
+  private def estimatedKeys = flag("estimatedKeys", "1000000").toLong
+  private def fpp = flag("fpp", "0.01").toFloat
+
+  // key types whose string form is injective on equal values (safe to
+  // bloom on CAST(key AS STRING) for keys the analyzer already coerced
+  // to a common type)
+  private def supportedKeyType(t: DataType): Boolean = t match {
+    case StringType | LongType | IntegerType | ShortType | ByteType | DateType => true
+    case _ => false
+  }
+
+  /** One left↔right equi-pair from the join condition's conjuncts. */
+  private def findEquiKey(cond: Expression, left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collectFirst {
+      case EqualTo(a, b)
+          if a.deterministic && b.deterministic && supportedKeyType(a.dataType) &&
+            a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+            b.references.nonEmpty && b.references.subsetOf(right.outputSet) => (a, b)
+      case EqualTo(b, a)
+          if a.deterministic && b.deterministic && supportedKeyType(a.dataType) &&
+            a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+            b.references.nonEmpty && b.references.subsetOf(right.outputSet) => (a, b)
+    }
+  }
+
+  /** Structural idempotence marker: an injected filter carries a
+    * `BloomMightContain` over a `ScalarSubquery` whose root aggregate is
+    * aliased [[RuntimeBloomJoin.MarkerAlias]].
+    */
+  private def alreadyInjected(left: LogicalPlan): Boolean = left.exists {
+    case Filter(c, _) => c.exists {
+      case BloomMightContain(s: ScalarSubquery, _) => s.plan match {
+        case agg: Aggregate => agg.aggregateExpressions.exists {
+          case a: Alias => a.name == RuntimeBloomJoin.MarkerAlias
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    val rs = right.stats.sizeInBytes
+    val ls = left.stats.sizeInBytes
+    rs <= maxBuildBytes && BigDecimal(ls) >= BigDecimal(rs) * minSizeRatio
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if (jt == Inner || jt == LeftSemi) && !alreadyInjected(left) && eligible(left, right) =>
+        findEquiKey(cond, left, right) match {
+          case Some((lk, rk)) =>
+            val n = right.stats.rowCount.map(_.toLong.max(1024L)).getOrElse(estimatedKeys)
+            val buildKey = Cast(rk, StringType)
+            val agg = Aggregate(Nil,
+              Seq(Alias(BloomSketchAgg(buildKey, n, fpp).toAggregateExpression(),
+                RuntimeBloomJoin.MarkerAlias)()),
+              right)
+            val probe = BloomMightContain(ScalarSubquery(agg), Cast(lk, StringType))
+            j.copy(left = Filter(probe, left))
+          case None => j
+        }
+    }
+}
+
+object RuntimeBloomJoin {
+  /** Alias of the injected build aggregate — the idempotence marker. */
+  val MarkerAlias = "graft_runtime_bloom"
+}

@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The auto-injected runtime Bloom pre-filter rule: rewrites qualifying
+  * joins, never changes results, and is idempotent/gated.
+  */
+class RuntimeBloomJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withRule[A](confs: (String, String)*)(f: => A): A = {
+    val rule = RuntimeBloomJoin(spark)
+    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
+
+  private def probe: DataFrame =
+    (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+  private def build: DataFrame =
+    (0 until 500).map(i => (i.toLong * 7, i)).toDF("bk", "extra")
+
+  private def optimizedString(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("qualifying inner equi-join gets the bloom pre-filter; results unchanged") {
+    val plain = probe.join(build, $"k" === $"bk").agg(count(lit(1)), sum($"k")).collect()
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = probe.join(build, $"k" === $"bk")
+      val plan = optimizedString(df)
+      assert(plan.contains("bloom_might_contain"), s"no rewrite in:\n$plan")
+      assert(plan.contains(RuntimeBloomJoin.MarkerAlias))
+      assert(df.agg(count(lit(1)), sum($"k")).collect().toSeq == plain.toSeq)
+      // the filter prunes: fewer rows reach the join than the probe has
+      assert(df.count() == 500) // every build key 0,7,..,3493 < 20000 exists in probe
+    }
+  }
+
+  test("left-semi join qualifies; idempotent under the fixpoint batch") {
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = probe.join(build.select($"bk".as("k")), Seq("k"), "left_semi")
+      val plan = optimizedString(df)
+      // fixpoint batch re-applies the rule; the marker must keep it at ONE filter
+      assert(plan.split("bloom_might_contain").length - 1 == 1,
+        s"rewrite not idempotent:\n$plan")
+      assert(df.count() == 500)
+    }
+  }
+
+  test("gating: disabled, oversized build side, or non-equi join -> no rewrite") {
+    // disabled (default)
+    val rule = RuntimeBloomJoin(spark)
+    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
+    try {
+      assert(!optimizedString(probe.join(build, $"k" === $"bk")).contains("bloom_might_contain"))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+
+    // enabled but build side over the byte ceiling
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true",
+      "spark.graft.runtimeBloomJoin.maxBuildBytes" -> "1") {
+      assert(!optimizedString(probe.join(build, $"k" === $"bk")).contains("bloom_might_contain"))
+    }
+
+    // enabled but non-equi condition
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = probe.join(build, $"k" < $"bk")
+      assert(!optimizedString(df).contains("bloom_might_contain"))
+    }
+
+    // probe side not sufficiently larger than build side -> no rewrite
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true",
+      "spark.graft.runtimeBloomJoin.minSizeRatio" -> "1000000") {
+      assert(!optimizedString(probe.join(build, $"k" === $"bk")).contains("bloom_might_contain"))
+    }
+  }
+
+  test("rewritten join answers a string-key query identically (cast path)") {
+    val p = (0 until 5000).map(i => (s"url-$i", i)).toDF("u", "x")
+    val b = (0 until 100).map(i => s"url-${i * 31}").toDF("u")
+    val plain = p.join(b, Seq("u"), "left_semi").orderBy($"u").collect().toSeq
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = p.join(b, Seq("u"), "left_semi")
+      assert(optimizedString(df).contains("bloom_might_contain"))
+      assert(df.orderBy($"u").collect().toSeq == plain)
+    }
+  }
+}
