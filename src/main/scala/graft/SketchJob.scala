@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *     --input  /data/webpages \
   *     --output /data/sketches \
   *     --key url --numeric-key len:text --group lang \
-  *     --n 1000000000 --p 0.01 --salt 64
+  *     --n 1000000000 --p 0.01 --salt 64 [--hasher poly31-mix64]
   * }}}
   *
   * Output layout:
@@ -39,7 +39,8 @@ object SketchJob {
       group: Option[String] = None,
       n: Long = 1000000L,
       p: Float = 0.01f,
-      salt: Int = 0)
+      salt: Int = 0,
+      hasher: String = graft.core.FnvBloomHasher.id)
 
   private def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -54,6 +55,7 @@ object SketchJob {
         case "--n" => a = a.copy(n = argv(i + 1).toDouble.toLong); i += 2
         case "--p" => a = a.copy(p = argv(i + 1).toFloat); i += 2
         case "--salt" => a = a.copy(salt = argv(i + 1).toInt); i += 2
+        case "--hasher" => a = a.copy(hasher = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -77,8 +79,13 @@ object SketchJob {
     val key = col(a.key).cast("string")
     val num = numericCol(a.numericKey)
 
+    // `--hasher <id>`: the reference's set_hash_function at job level
+    // (built-ins: fnv1a-seeded, poly31-mix64; custom ids need
+    // BloomHasher.register on every executor via a library jar)
+    val bloomHasher = graft.core.BloomHasher.lookup(a.hasher)
+
     def battery(kc: Column): Seq[Column] = Seq(
-      bloom_sketch(kc, a.n, a.p).as("bloom"),
+      bloom_sketch(kc, a.n, a.p, bloomHasher).as("bloom"),
       hll_sketch(kc, 14).as("hll"),
       cms_sketch(kc, 0.0001, 0.01).as("cms"),
       tdigest_sketch(num, 100.0).as("tdigest"),
