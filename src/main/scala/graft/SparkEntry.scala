@@ -317,6 +317,23 @@ object SparkEntry {
         .toDF("queries", "k", "brute_pairs", "recall_ok")
     }),
 
+    // --- IVF-PQ ANN (compressed codes + ADC + exact refine) vs brute ---
+    "q32_ivfpq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val pq = graft.ops.IvfPq.topK(emb, q, "vec_id", "embedding", 10,
+          nCentroids = 8, nProbe = 4, m = 8, ks = 16, refineFactor = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val total = brute.count
+      val hits = pq.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count
+      brute.unpersist()
+      Seq((q.count, 10, total, hits.toDouble / total >= 0.5))
+        .toDF("queries", "k", "brute_pairs", "recall_ok")
+    }),
+
     // --- text analysis: token counts (whitespace + subword estimate) ---
     "q16_text_stats" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
@@ -662,6 +679,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 
     "q27_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS queries, 10 AS k,
+        | CAST(count(*) * 10 AS BIGINT) AS brute_pairs, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "q32_ivfpq_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS queries, 10 AS k,
         | CAST(count(*) * 10 AS BIGINT) AS brute_pairs, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,

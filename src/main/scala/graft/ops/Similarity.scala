@@ -95,23 +95,7 @@ object Similarity {
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .as[(Long, Seq[Float])]
-    // Deterministic sample WITHOUT a full-corpus sort: a count (parquet
-    // answers from row-group metadata) sizes a hash-threshold filter that
-    // passes ~2× sampleSize rows in one narrow scan; the tie-break sort
-    // runs over only those survivors (TakeOrdered on ~2·sampleSize rows).
-    // Same sample semantics as before — smallest xxhash64(_id) ranks, so
-    // the trained quantizer is stable across runs and partitionings — but
-    // the previous orderBy(hash).limit shuffled/partially-sorted the WHOLE
-    // corpus to pick 4096 rows, a scale killer at 10^11 vectors.
-    val total = typed.count()
-    val granularity = 1L << 20
-    val cut = if (total <= sampleSize) granularity
-      else math.min(granularity, granularity * 2L * sampleSize / total + 1L)
-    val sample = typed.toDF("_id", "_v")
-      .filter(pmod(xxhash64(col("_id")), lit(granularity)) < lit(cut))
-      .orderBy(pmod(xxhash64(col("_id")), lit(granularity)), xxhash64(col("_id")), col("_id"))
-      .limit(sampleSize)
-      .as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    val sample = trainingSample(typed.toDF("_id", "_v"), sampleSize)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     var centroids = sample.take(nCentroids)
@@ -145,6 +129,28 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic training sample WITHOUT a full-corpus sort: a count
+    * (parquet answers from row-group metadata) sizes a hash-threshold
+    * filter that passes ~2× sampleSize rows in one narrow scan; the
+    * tie-break sort runs over only those survivors (TakeOrdered on
+    * ~2·sampleSize rows). Sample = smallest xxhash64(_id) ranks — stable
+    * across runs and partitionings. (A plain orderBy(hash).limit would
+    * shuffle/partially-sort the WHOLE corpus to pick 4096 rows — a scale
+    * killer at 10^11 vectors.) Expects columns (_id: long, _v: seq float).
+    */
+  private[ops] def trainingSample(df: DataFrame, sampleSize: Int): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    val granularity = 1L << 20
+    val cut = if (total <= sampleSize) granularity
+      else math.min(granularity, granularity * 2L * sampleSize / total + 1L)
+    df.filter(pmod(xxhash64(col("_id")), lit(granularity)) < lit(cut))
+      .orderBy(pmod(xxhash64(col("_id")), lit(granularity)), xxhash64(col("_id")), col("_id"))
+      .limit(sampleSize)
+      .as[(Long, Seq[Float])].collect().map(_._2.toArray)
   }
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
