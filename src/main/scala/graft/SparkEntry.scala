@@ -169,6 +169,39 @@ object SparkEntry {
       rows.toDF("q", "n", "ok_tdigest", "ok_kll", "ok_kll_rank").orderBy(col("q"))
     }),
 
+    // --- theta sketch set algebra: distinct-intersection/difference
+    // estimates (the set ops HLL cannot do) vs exact, one pass for both
+    // sketches via conditional inputs (nulls skip the aggregate) ---
+    "q33_theta_setops" -> ((s, dir) => {
+      import s.implicits._
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k"), col("o_totalprice").as("p"))
+      // o_orderkey is unique per row, so conditional counts are exact
+      // distinct counts without a distinct aggregate (never mix a
+      // TypedImperativeAggregate with a distinct rewrite — CLAUDE.md)
+      val r = ord.agg(
+        theta_sketch(when(col("p") > 150000.0, col("k")), 4096).as("ta"),
+        theta_sketch(when(col("p") < 250000.0, col("k")), 4096).as("tb"),
+        sum(when(col("p") > 150000.0, 1L).otherwise(0L)).as("ea"),
+        sum(when(col("p") < 250000.0, 1L).otherwise(0L)).as("eb"),
+        sum(when(col("p") > 150000.0 && col("p") < 250000.0, 1L).otherwise(0L)).as("ei"),
+        count(lit(1)).as("eu")).head
+      val ta = graft.core.ThetaSketch.deserialize(r.getAs[Array[Byte]]("ta"))
+      val tb = graft.core.ThetaSketch.deserialize(r.getAs[Array[Byte]]("tb"))
+      val (ea, eb, ei, eu) = (r.getAs[Long]("ea"), r.getAs[Long]("eb"), r.getAs[Long]("ei"), r.getAs[Long]("eu"))
+      // intersection/difference error amplifies by |A∪B|/|result| (the
+      // sample thins at min θ); 8% of the union + slack is ~5x RSE@k=4096
+      val slack = math.ceil(0.08 * eu).toLong + 10
+      def ok(est: Double, exact: Long, bound: Long): Boolean = math.abs(est - exact) <= bound
+      Seq((ea, eb, ei,
+        ok(ta.estimate, ea, math.ceil(0.0625 * ea).toLong + 10),
+        ok(tb.estimate, eb, math.ceil(0.0625 * eb).toLong + 10),
+        ok(ta.intersect(tb).estimate, ei, slack),
+        ok(ta.aNotB(tb).estimate, ea - ei, slack),
+        ok(ta.union(tb).estimate, eu, math.ceil(0.0625 * eu).toLong + 10)))
+        .toDF("exact_a", "exact_b", "exact_inter", "ok_a", "ok_b", "ok_inter", "ok_diff", "ok_union")
+    }),
+
     // --- counting Bloom: per-key counter ≥ exact frequency ---
     "q08_counting_bloom" -> ((s, dir) => {
       val ord = T(s, dir, "orders")
@@ -601,6 +634,14 @@ object SparkEntry {
     "q08_counting_bloom" ->
       """SELECT o_orderpriority, count(*) AS cnt, true AS ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_theta_setops" ->
+      """SELECT
+        | CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+        | CAST(sum(CASE WHEN o_totalprice < 250000.0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+        | CAST(sum(CASE WHEN o_totalprice > 150000.0 AND o_totalprice < 250000.0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+        | true AS ok_a, true AS ok_b, true AS ok_inter, true AS ok_diff, true AS ok_union
+        |FROM orders""".stripMargin,
 
     "q09_bloom_setops" ->
       """SELECT CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey % 2 = 0) AS BIGINT) AS evens,

@@ -181,6 +181,43 @@ case class CmsSketchAgg(
   override protected def withNewChildInternal(c: Expression): CmsSketchAgg = copy(child = c)
 }
 
+/** `theta_sketch(col, k)` — KMV/theta distinct sketch; merge = union
+  * (k smallest of the combined sample below min θ — deterministic, exact
+  * monoid). Unlike HLL, the blob supports intersection/difference
+  * estimates downstream (`theta_intersect`, `theta_a_not_b`).
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    nominalK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[ThetaSketch] {
+
+  override def prettyName: String = "theta_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.hashable)
+
+  override def createAggregationBuffer(): ThetaSketch = ThetaSketch.empty(nominalK)
+
+  override def update(b: ThetaSketch, input: InternalRow): ThetaSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case StringType => b.add(v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => b.add(v.asInstanceOf[Array[Byte]])
+      case _ => b.addLong(v.asInstanceOf[Number].longValue())
+    }
+    b
+  }
+
+  override def merge(b: ThetaSketch, o: ThetaSketch): ThetaSketch = b.mergeInPlace(o)
+  override def eval(b: ThetaSketch): Any = b.serialize()
+  override def serialize(b: ThetaSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): ThetaSketch = ThetaSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg = copy(child = c)
+}
+
 /** `tdigest_sketch(col, compression)` — quantiles via merging t-digest. */
 case class TDigestSketchAgg(
     child: Expression,

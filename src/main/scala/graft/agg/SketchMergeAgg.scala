@@ -53,6 +53,13 @@ object CmsOps extends SketchOps {
   def serialize(s: S): Array[Byte] = s.serialize()
   def merge(a: S, b: S): S = a.mergeInPlace(b)
 }
+object ThetaOps extends SketchOps {
+  type S = ThetaSketch
+  val name = "theta"
+  def deserialize(b: Array[Byte]): S = ThetaSketch.deserialize(b)
+  def serialize(s: S): Array[Byte] = s.serialize()
+  def merge(a: S, b: S): S = a.mergeInPlace(b)
+}
 object TDigestOps extends SketchOps {
   type S = TDigestSketch
   val name = "tdigest"

@@ -345,6 +345,61 @@ case class HllMergeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HllMergeExpr = copy(l, r)
 }
 
+/** `theta_estimate(blob)` — distinct estimate from a theta sketch blob
+  * (also of intersection/difference result blobs). Codegen'd.
+  */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[ThetaSketch]
+  override def prettyName: String = "theta_estimate"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  def probe(blob: Array[Byte]): Long = cache.get(blob, ThetaSketch.deserialize).estimateLong
+  override def nullSafeEval(blob: Any): Any = probe(blob.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("the", this, classOf[ThetaEstimate].getName)
+    nullSafeCodeGen(ctx, ev, blob => s"${ev.value} = $self.probe($blob);")
+  }
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate = copy(c)
+}
+
+private[graft] abstract class ThetaSetOp extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient protected lazy val cacheL = new SketchCache[ThetaSketch]
+  @transient protected lazy val cacheR = new SketchCache[ThetaSketch]
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.binary)
+  protected final def sketches(a: Any, b: Any): (ThetaSketch, ThetaSketch) = (
+    cacheL.get(a.asInstanceOf[Array[Byte]], ThetaSketch.deserialize),
+    cacheR.get(b.asInstanceOf[Array[Byte]], ThetaSketch.deserialize))
+}
+
+/** `theta_union(a, b)` — sample union, min-θ semantics. */
+case class ThetaUnionExpr(left: Expression, right: Expression) extends ThetaSetOp {
+  override def prettyName: String = "theta_union"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.union(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaUnionExpr = copy(l, r)
+}
+
+/** `theta_intersect(a, b)` — the set op HLL cannot do. */
+case class ThetaIntersectExpr(left: Expression, right: Expression) extends ThetaSetOp {
+  override def prettyName: String = "theta_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.intersect(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaIntersectExpr = copy(l, r)
+}
+
+/** `theta_a_not_b(a, b)` — difference estimate sketch. */
+case class ThetaANotB(left: Expression, right: Expression) extends ThetaSetOp {
+  override def prettyName: String = "theta_a_not_b"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b); x.aNotB(y).serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaANotB = copy(l, r)
+}
+
 /** `cms_query(blob, key)` — count-min point query (never underestimates).
   * Codegen'd: `cms_query(lit(blob), col)` in a heavy-hitter filter/select
   * is a per-row hot path; keep the stage in whole-stage codegen.

@@ -51,6 +51,12 @@ object functions {
   def cms_sketch(c: Column, eps: Double = 0.0001, delta: Double = 0.01): Column =
     col(CmsSketchAgg(ex(c), eps, delta).toAggregateExpression())
 
+  /** Theta/KMV distinct sketch — supports set algebra (intersection /
+    * difference) downstream, which HLL cannot; RSE ≈ 1/sqrt(k-1).
+    */
+  def theta_sketch(c: Column, nominalK: Int = 4096): Column =
+    col(ThetaSketchAgg(ex(c), nominalK).toAggregateExpression())
+
   /** t-digest quantile sketch over a numeric column. */
   def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
     col(TDigestSketchAgg(ex(c.cast(DoubleType)), compression).toAggregateExpression())
@@ -62,6 +68,7 @@ object functions {
   // ----- blob re-aggregation (stage 2 of salted / checkpointed builds) -----
 
   def bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BloomOps).toAggregateExpression())
+  def theta_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), ThetaOps).toAggregateExpression())
   def counting_bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), CountingBloomOps).toAggregateExpression())
   def hll_merge_agg(blob: Column): Column = col(SketchMergeAgg(ex(blob), HllOps).toAggregateExpression())
   def cms_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), CmsOps).toAggregateExpression())
@@ -91,6 +98,11 @@ object functions {
 
   def hll_estimate(blob: Column): Column = col(HllEstimate(ex(blob)))
   def hll_merge(a: Column, b: Column): Column = col(HllMergeExpr(ex(a), ex(b)))
+
+  def theta_estimate(blob: Column): Column = col(ThetaEstimate(ex(blob)))
+  def theta_union(a: Column, b: Column): Column = col(ThetaUnionExpr(ex(a), ex(b)))
+  def theta_intersect(a: Column, b: Column): Column = col(ThetaIntersectExpr(ex(a), ex(b)))
+  def theta_a_not_b(a: Column, b: Column): Column = col(ThetaANotB(ex(a), ex(b)))
 
   def cms_query(blob: Column, key: Column): Column = col(CmsQuery(ex(blob), ex(key)))
   def cms_total_count(blob: Column): Column = col(CmsTotalCount(ex(blob)))
@@ -157,6 +169,13 @@ object functions {
       TDigestSketchAgg(asDouble(es(0)), if (es.length > 1) doubleLit(es(1), "compression") else 100.0).toAggregateExpression()),
     "kll_sketch" -> ((es: Seq[Expression]) =>
       KllSketchAgg(asDouble(es(0)), if (es.length > 1) intLit(es(1), "k") else 200).toAggregateExpression()),
+    "theta_sketch" -> ((es: Seq[Expression]) =>
+      ThetaSketchAgg(es(0), if (es.length > 1) intLit(es(1), "k") else 4096).toAggregateExpression()),
+    "theta_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), ThetaOps).toAggregateExpression()),
+    "theta_estimate" -> ((es: Seq[Expression]) => ThetaEstimate(es(0))),
+    "theta_union" -> ((es: Seq[Expression]) => ThetaUnionExpr(es(0), es(1))),
+    "theta_intersect" -> ((es: Seq[Expression]) => ThetaIntersectExpr(es(0), es(1))),
+    "theta_a_not_b" -> ((es: Seq[Expression]) => ThetaANotB(es(0), es(1))),
     "bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), BloomOps).toAggregateExpression()),
     "counting_bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), CountingBloomOps).toAggregateExpression()),
     "hll_merge_agg" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), HllOps).toAggregateExpression()),
