@@ -404,6 +404,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- ccnet-style canonical normalization before dedup: copies that
+    // differ only in case/punctuation collapse to one normalized form ---
+    "q34_normalized_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val copies = docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(upper(col("text")), lit("!!!")).as("text"))
+      docs.select(col("doc_id"), col("text")).unionAll(copies)
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("text")).as("raw_distinct"),
+          countDistinct(TextOps.normalizeForDedup(col("text"))).as("norm_distinct"))
+    }),
+
+    // --- paragraph-level boilerplate removal (ccnet/RefinedWeb step):
+    // a paragraph in >= 50 distinct docs is dropped everywhere, order
+    // preserved — full 500-row text output hash-matched vs the oracle ---
+    "q35_paragraph_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("SHARED BOILERPLATE LINE\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.paragraphDedup(d, "doc_id", "text", 50L).orderBy(col("doc_id"))
+    }),
+
+    // --- Gopher-style repetition signals (dup-line / dup-word fractions) ---
+    "q36_repetition_stats" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 1, concat_ws("\n", col("text"), col("text")))
+          .otherwise(col("text")).as("t2"))
+      d.select(col("doc_id"),
+        TextOps.dupLineFraction(col("t2")).as("dup_line_frac"),
+        TextOps.dupWordFraction(col("t2")).as("dup_word_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- salted two-level aggregation == unsalted (hot-key skew defuse) ---
     "q19_salted_group" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -765,6 +800,37 @@ object SparkEntry {
         |      - least(punct_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7
         |      - least(digit_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7)) AS score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q34_normalized_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 3000000, upper(text) || '!!!'
+        |   FROM documents WHERE lang = 'en' AND doc_id % 5 = 0)
+        |SELECT count(*) AS total, count(DISTINCT text) AS raw_distinct,
+        | count(DISTINCT trim(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(text), '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_distinct
+        |FROM d""".stripMargin,
+
+    "q35_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |   THEN 'SHARED BOILERPLATE LINE' || chr(10) || text ELSE text END AS text FROM documents),
+        |hot AS (SELECT para FROM (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS para FROM d)
+        |  GROUP BY para HAVING count(*) >= 50),
+        |hl AS (SELECT coalesce(list(para), []) AS ps FROM hot)
+        |SELECT doc_id, array_to_string(list_filter(string_split(text, chr(10)),
+        |  p -> NOT list_contains(hl.ps, p)), chr(10)) AS text
+        |FROM d, hl ORDER BY doc_id""".stripMargin,
+
+    "q36_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1
+        |   THEN text || chr(10) || text ELSE text END AS t2 FROM documents),
+        |m AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(t2, chr(10)), l -> trim(l)), l -> length(l) > 0) AS lines,
+        |  CASE WHEN length(trim(t2)) = 0 THEN [] ELSE regexp_split_to_array(trim(t2), '\s+') END AS words
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dup_line_frac,
+        | CASE WHEN len(words) = 0 THEN 0.0 ELSE CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words) END AS dup_word_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q19_salted_group" ->
       """SELECT lang, count(*) AS cnt, CAST(0 AS BIGINT) AS fn, true AS bits_equal

@@ -190,6 +190,39 @@ object Dedup {
     exactEdges.unionAll(nearEdges)
   }
 
+  /** Paragraph-level boilerplate removal (the ccnet/RefinedWeb pipeline
+    * step): a paragraph appearing in ≥ `maxDocFreq` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, footers) and is dropped from
+    * every document; paragraph order inside each document is preserved.
+    *
+    * Scale shape: one explode + one aggregation to find the hot
+    * paragraphs (a tiny set — only those over the threshold), broadcast
+    * anti-join to drop them, one groupBy to reassemble. The hot set is
+    * the ONLY thing that concentrates; documents never pairwise join.
+    *
+    * Returns (idCol, textCol) with the filtered text (documents whose
+    * every paragraph was boilerplate keep an empty string).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     maxDocFreq: Long): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__para")))
+    val hot = paras.select(col("__id"), col("__para")).distinct()
+      .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select(col("__para"))
+    val rebuilt = paras.join(broadcast(hot), Seq("__para"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
+          s => s.getField("__para"))).as(textCol))
+    // keep docs whose EVERY paragraph was boilerplate (empty text), so
+    // the operator never silently drops rows
+    df.select(col(idCol).as("__id")).distinct()
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold, LSH-bucketed:
     * random-hyperplane sign bits (Charikar 2002) bucket the vectors; only
     * same-bucket pairs are compared exactly. `planes` controls the

@@ -25,6 +25,42 @@ object TextOps {
       (acc, w) => acc + greatest(lit(1), ceil(length(w).cast("double") / 4.0).cast("int")))
   }
 
+  /** ccnet-style canonical form for deduplication (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2020 — lowercase, strip punctuation, unify digits, collapse
+    * whitespace): two pages differing only in case/punctuation/numbers
+    * fingerprint identically. Pure built-ins (codegen'd); ASCII character
+    * classes so the exact transform is engine-portable (the DuckDB oracle
+    * runs the same regexes).
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+      " +", " "))
+
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * A1.1): fraction of duplicated non-blank lines and duplicated words —
+    * high values flag boilerplate/machine-generated pages. Integer counts
+    * + one double division; SQL-mirrorable exactly.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) === 0, lit(0.0))
+      .otherwise((size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+  }
+
+  def dupWordFraction(text: Column): Column = {
+    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+    when(size(words) === 0, lit(0.0))
+      .otherwise((size(words) - size(array_distinct(words))).cast("double") /
+        size(words).cast("double"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Small fixed lists (deterministic; public common words).
     */

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ccnet-style normalization, paragraph boilerplate removal, and
+  * Gopher-style repetition signals.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("normalizeForDedup: case/punctuation/digit variants collapse; word content preserved") {
+    val rows = Seq(
+      (1L, "Hello, World! Call 555-1234."),
+      (2L, "HELLO WORLD call 999 0000"),
+      (3L, "a completely different document")).toDF("id", "t")
+    val norm = rows.select($"id", TextOps.normalizeForDedup($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(norm(1L) == "hello world call 000 0000")
+    assert(norm(2L) == "hello world call 000 0000")
+    assert(norm(3L) == "a completely different document")
+  }
+
+  test("dup fractions: empty, no-dup, all-dup edge cases") {
+    val rows = Seq(
+      (1L, ""),
+      (2L, "one\ntwo\nthree"),
+      (3L, "same\nsame\nsame\nsame"),
+      (4L, "x x x x")).toDF("id", "t")
+    val got = rows.select($"id",
+      TextOps.dupLineFraction($"t").as("l"), TextOps.dupWordFraction($"t").as("w"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0.0, 0.0)))
+    assert(got(2L)._1 == 0.0)
+    assert(got(3L)._1 == 0.75) // 4 lines, 1 distinct
+    assert(got(4L)._2 == 0.75) // 4 words, 1 distinct
+  }
+
+  test("paragraphDedup: hot paragraphs drop everywhere, order preserved, empty doc survives as empty") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"COOKIE BANNER\nunique paragraph $i alpha\nCOOKIE BANNER\nunique paragraph $i beta")
+    } :+ (999L, "COOKIE BANNER")
+    val out = Dedup.paragraphDedup(docs.toDF("id", "text"), "id", "text", maxDocFreq = 50)
+      .as[(Long, String)].collect().toMap
+    assert(out(3L) == "unique paragraph 3 alpha\nunique paragraph 3 beta")
+    assert(out(999L) == "") // all paragraphs were boilerplate
+    assert(out.size == 61)
+    // a paragraph under the doc-frequency threshold is untouched
+    val rare = (0 until 10).map(i => (i.toLong, s"rare shared line\nbody $i"))
+    val kept = Dedup.paragraphDedup(rare.toDF("id", "text"), "id", "text", 50)
+      .as[(Long, String)].collect().toMap
+    assert(kept(0L) == "rare shared line\nbody 0")
+  }
+}
