@@ -583,6 +583,34 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // --- auto-injected runtime Bloom pre-filter (RuntimeBloomJoin rule):
+    // the rewritten join must answer exactly like the plain join (zero
+    // false negatives in the filter; FPs fall to the exact join) ---
+    "q37_runtime_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val rule = graft.plans.RuntimeBloomJoin(s)
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      s.conf.set("spark.graft.runtimeBloomJoin.enabled", "true")
+      try {
+        val li = T(s, dir, "lineitem")
+        val hi = T(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey"))
+        val j = li.join(hi, li("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+        val rewritten = j.queryExecution.optimizedPlan.toString.contains("bloom_might_contain")
+        // collect while the rule is active so the EXECUTED plan is the
+        // rewritten one; re-emit as a local result
+        j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), rewritten)).toSeq
+          .toDF("l_returnflag", "cnt", "sum_qty", "rewritten")
+      } finally {
+        s.conf.unset("spark.graft.runtimeBloomJoin.enabled")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -877,6 +905,13 @@ object SparkEntry {
         |n AS (SELECT ceil(0.01 * count(*)) AS thresh FROM t)
         |SELECT key, count(*) AS cnt FROM t GROUP BY 1
         |HAVING count(*) >= (SELECT thresh FROM n) ORDER BY key""".stripMargin,
+
+    "q37_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | true AS rewritten
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_bloom_estimators" ->
       """SELECT CAST(4872 AS BIGINT) AS est_5000, CAST(9792 AS BIGINT) AS est_10000,

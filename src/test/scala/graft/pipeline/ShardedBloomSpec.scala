@@ -56,6 +56,23 @@ class ShardedBloomSpec extends AnyFunSuite {
     assert(res.contains("a"))
   }
 
+  test("large-B degradation: semiJoin stays correct when broadcast is disabled (shuffle join path)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = (0 until 8000).map(i => s"key-$i").toDF("k")
+      val parts = ShardedBloom.build(df, "k", 8000L, 0.01f, 16)
+      val probes = ((0 until 2000).map(i => s"key-${i * 3}") ++
+        (0 until 2000).map(i => s"nope-$i")).toDF("k")
+      val res = ShardedBloom.semiJoin(probes, "k", parts, 16)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"broadcast still chosen:\n$plan")
+      val got = res.as[String].collect().toSet
+      assert((0 until 2000).map(i => s"key-${i * 3}").toSet.subsetOf(got))
+      assert(got.count(_.startsWith("nope")) <= 2000 * 0.02)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("broadcast probe: plan does not embed shard blobs as literals") {
     val df = (0 until 5000).map(i => s"key-$i").toDF("k")
     val shards = ShardedBloom.collectShards(
