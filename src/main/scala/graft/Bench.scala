@@ -152,7 +152,8 @@ object Bench {
     val headline = Seq("q01_pricing_agg", "q02_bloom_semijoin", "q05_hll_accuracy",
       "q07_quantiles", "q10_dedup_exact", "q11_dedup_minhash", "q14_embed_knn",
       "q16_text_stats", "q19_salted_group", "q28_dedup_pathological",
-      "q29_sharded_bloom_join", "q30_embed_neardup")
+      "q29_sharded_bloom_join", "q30_embed_neardup", "q33_theta_setops",
+      "q35_paragraph_dedup")
     val queries = SparkEntry.queries
     val qTimes = headline.map { name =>
       val (_, t) = time {

@@ -97,9 +97,16 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    // The build side executes TWICE (subquery + join input). A
+    // nondeterministic right side (rand(), sample without seed) would
+    // build the filter from a DIFFERENT row set than the join sees —
+    // false negatives, wrong results. Refuse the rewrite outright.
+    def planDeterministic(p: LogicalPlan): Boolean =
+      p.find(n => n.expressions.exists(!_.deterministic)).isEmpty
     val rs = right.stats.sizeInBytes
     val ls = left.stats.sizeInBytes
-    rs <= maxBuildBytes && BigDecimal(ls) >= BigDecimal(rs) * minSizeRatio
+    rs <= maxBuildBytes && BigDecimal(ls) >= BigDecimal(rs) * minSizeRatio &&
+      planDeterministic(right)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

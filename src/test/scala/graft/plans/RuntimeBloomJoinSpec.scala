@@ -82,6 +82,19 @@ class RuntimeBloomJoinSpec extends AnyFunSuite {
       "spark.graft.runtimeBloomJoin.minSizeRatio" -> "1000000") {
       assert(!optimizedString(probe.join(build, $"k" === $"bk")).contains("bloom_might_contain"))
     }
+
+    // nondeterministic build side -> no rewrite (it would execute twice
+    // with different rows; the filter could drop genuine matches).
+    // Range base: a LocalRelation would eagerly evaluate the filter away
+    // before our rule ever saw it.
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val nd = spark.range(500).select(($"id" * 7).as("bk"))
+        .filter(rand(42) < 0.999999)
+      assert(!optimizedString(probe.join(nd, $"k" === $"bk")).contains("bloom_might_contain"))
+      // same shape WITHOUT the nondeterministic filter does rewrite
+      val det = spark.range(500).select(($"id" * 7).as("bk"))
+      assert(optimizedString(probe.join(det, $"k" === $"bk")).contains("bloom_might_contain"))
+    }
   }
 
   test("rewritten join answers a string-key query identically (cast path)") {
