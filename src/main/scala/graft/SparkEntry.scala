@@ -178,7 +178,8 @@ object SparkEntry {
         .select(col("o_orderkey").cast("string").as("k"), col("o_totalprice").as("p"))
       // o_orderkey is unique per row, so conditional counts are exact
       // distinct counts without a distinct aggregate (never mix a
-      // TypedImperativeAggregate with a distinct rewrite — CLAUDE.md)
+      // TypedImperativeAggregate with a distinct rewrite: Spark's rewrite
+      // would build one sketch buffer per (group, distinct-key) pair)
       val r = ord.agg(
         theta_sketch(when(col("p") > 150000.0, col("k")), 4096).as("ta"),
         theta_sketch(when(col("p") < 250000.0, col("k")), 4096).as("tb"),

@@ -141,6 +141,29 @@ object MediaCodecs {
     decodePpm(bytes, off + 4, len)
   }
 
+  /** Nearest-neighbor resize on decoded pixels (the standard cheap
+    * thumbnail/model-input-shape step; bilinear would slot in the same
+    * seam).
+    */
+  def resize(img: Image, w: Int, h: Int): Image = {
+    require(w > 0 && h > 0, s"bad target size ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.width / w
+        val s = (sy * img.width + sx) * 3
+        val d = (y * w + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
   // ---------------- feature extraction (real math over decoded media) ----
 
   /** Image features: [meanR, meanG, meanB, stdLuma, then an 8×8 grayscale

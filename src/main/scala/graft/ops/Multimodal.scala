@@ -81,6 +81,27 @@ object Multimodal {
     }
   }
 
+  /** Resize every image row to `w`×`h` (decode → nearest-neighbor resize
+    * → re-encode PPM); non-image rows pass through untouched, malformed
+    * images keep their original bytes with `resized = false`. The
+    * model-input normalization step of a multimodal training pipeline.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.media_type != "image") (m.media_id, m.media_type, m.media, m.width, m.height, false)
+        else MediaCodecs.decodePpm(m.media) match {
+          case Some(img) =>
+            val r = MediaCodecs.resize(img, w, h)
+            (m.media_id, m.media_type, MediaCodecs.encodePpm(r.width, r.height, r.rgb), w, h, true)
+          case None => (m.media_id, m.media_type, m.media, m.width, m.height, false)
+        }
+      }
+    }.toDF("media_id", "media_type", "media", "width", "height", "resized")
+  }
+
   /** Deterministic frame sampling for video rows: every `everyMs`
     * millisecond offset per the duration metadata; each sampled timestamp
     * seeks and decodes its nearest contained frame (container frames are

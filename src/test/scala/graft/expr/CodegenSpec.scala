@@ -7,9 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-stage codegen coverage for the per-row probe expressions: a probe
   * used in a filter/select hot path must NOT fall back to interpreted
-  * evaluation (the CLAUDE.md trap: anything that IS-A CodegenFallback is
-  * excluded from WholeStageCodegen by type test, so these expressions
-  * override doGenCode and do not extend the trait).
+  * evaluation. Spark excludes anything that IS-A CodegenFallback from
+  * WholeStageCodegen by TYPE TEST (even with doGenCode overridden), so
+  * these expressions override doGenCode and do not extend the trait.
   */
 class CodegenSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

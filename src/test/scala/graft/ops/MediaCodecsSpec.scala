@@ -61,6 +61,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(af(1) - 0.25f) < 0.01) // crossing every 4 samples
   }
 
+  test("resize: nearest-neighbor preserves solid regions; round-trips through PPM") {
+    // left half red, right half blue, 16x8 -> 4x2
+    val rgb = Array.tabulate(16 * 8 * 3) { i =>
+      val px = i / 3
+      val x = px % 16
+      (if (x < 8) { if (i % 3 == 0) 255 else 0 } else { if (i % 3 == 2) 255 else 0 }).toByte
+    }
+    val small = MediaCodecs.resize(MediaCodecs.Image(16, 8, rgb), 4, 2)
+    assert(small.width == 4 && small.height == 2)
+    // first two columns red, last two blue in each row
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = (y * 4 + x) * 3
+      if (x < 2) assert((small.rgb(p) & 0xff) == 255 && small.rgb(p + 2) == 0)
+      else assert(small.rgb(p) == 0 && (small.rgb(p + 2) & 0xff) == 255)
+    }
+    val re = MediaCodecs.decodePpm(MediaCodecs.encodePpm(4, 2, small.rgb)).get
+    assert(re.rgb.toSeq == small.rgb.toSeq)
+
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 30, 4)
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    import org.apache.spark.sql.functions._
+    assert(resized.filter(col("media_type") === "image" && !col("resized")).count() == 0)
+    assert(resized.filter(col("media_type") =!= "image" && col("resized")).count() == 0)
+    val oneBlob = resized.filter(col("resized")).select(col("media"))
+      .head.getAs[Array[Byte]](0)
+    val img = MediaCodecs.decodePpm(oneBlob).get
+    assert(img.width == 8 && img.height == 8)
+  }
+
   test("extractFeatures marks malformed media decode_ok=false without failing the task") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
