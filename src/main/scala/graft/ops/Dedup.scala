@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   *    only within buckets, never via cross join;
   *  - simhash uses the pigeonhole banding trick: distance ≤ 3 of 64 bits ⇒
   *    at least one of 4 16-bit chunks is equal, so an equi-join on chunks
-  *    finds all candidates.
+  *    finds all candidates;
+  *  - recomputation: the capped paths consume their signature/fingerprint
+  *    table twice (hot-bucket count, then the join). Spark recomputes
+  *    lineage per consumer; at 100-TB scale materialize the signature
+  *    table once (parquet checkpoint — `TableIO` layout — or
+  *    `localCheckpoint`) and feed both consumers from it, exactly like
+  *    [[graft.pipeline.SketchPipeline.buildCheckpointed]] does for
+  *    sketch partials. At test scale recomputation is cheaper than a
+  *    cache, so these operators leave persistence to the caller.
   */
 object Dedup {
 
