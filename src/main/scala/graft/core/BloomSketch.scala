@@ -304,7 +304,14 @@ final class BloomSketch private (
     if (u == 0f) 1.0f else countIntersectionBitsSet(other).toFloat / u
   }
 
-  def serializedSize: Long = bits.length.toLong + 20L
+  /** Exact `serialize().length`: the C-format bytes, plus the hasher tag
+    * for non-default families (see [[serialize]]).
+    */
+  def serializedSize: Long = {
+    val tag = if (hasher eq FnvBloomHasher) 0L
+      else hasher.id.getBytes(StandardCharsets.UTF_8).length.toLong + 8L
+    bits.length.toLong + 20L + tag
+  }
 
   /** Reference binary layout (`bloom.c:426-439`): array then LE footer.
     * Default-hasher blobs are byte-identical to the C format; non-default

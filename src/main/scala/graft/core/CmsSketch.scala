@@ -83,8 +83,16 @@ final class CmsSketch private (
     this
   }
 
+  /** Leads with a format+hash-family magic: the bucket placement depends
+    * on the row-hash family, so a blob from a different revision must
+    * fail LOUDLY on deserialize — silently recomputing buckets under a
+    * new family reads the wrong cells and can underestimate, breaking
+    * CMS's one-sided guarantee (and cms_merge would merge old/new-family
+    * tables into nonsense).
+    */
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(8 + 8 + 4 + 4 + 8 + table.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.allocate(4 + 8 + 8 + 4 + 4 + 8 + table.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(CmsSketch.FormatMagic)
     buf.putDouble(eps)
     buf.putDouble(delta)
     buf.putInt(depth)
@@ -108,8 +116,17 @@ object CmsSketch {
     new CmsSketch(eps, delta, depth, width, new Array[Long](depth * width), 0L)
   }
 
+  /** Format magic: 'C','M','S' + family revision. Rev 2 = double-hashing
+    * rows with h1 = fnv1a(key,0), h2 = fnv1a(key,1)|1 (rev 1, never
+    * released, derived h2 from splitmix64(h1)).
+    */
+  final val FormatMagic: Int = 0x434D5302
+
   def deserialize(bytes: Array[Byte]): CmsSketch = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == FormatMagic,
+      f"not a CMS blob of this format/hash-family revision (magic 0x$magic%08x, want 0x$FormatMagic%08x) — rebuild the sketch; mixed-revision blobs must never merge silently")
     val eps = buf.getDouble
     val delta = buf.getDouble
     val depth = buf.getInt

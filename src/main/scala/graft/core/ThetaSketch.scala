@@ -83,6 +83,18 @@ final class ThetaSketch private (
     this
   }
 
+  /** Enforce `retained ≤ k` on a set-op result whose operands had
+    * different nominal k: keep the k smallest and tighten θ to the first
+    * evicted value — the estimator stays unbiased, only the sample (and
+    * thus the reported standard error) shrinks to the smaller k's. With
+    * equal-k operands (the common case) this is a no-op.
+    */
+  private def trimTo(k: Int, t0: Long, out: java.util.TreeSet[java.lang.Long]): ThetaSketch = {
+    var t = t0
+    while (out.size > k) t = out.pollLast()
+    new ThetaSketch(k, t, out)
+  }
+
   /** Intersection estimate sketch: sample = A∩B below min θ. */
   def intersect(other: ThetaSketch): ThetaSketch = {
     val t = math.min(_theta, other._theta)
@@ -92,7 +104,7 @@ final class ThetaSketch private (
       val h = it.next()
       if (h < t && other.entries.contains(h)) out.add(h)
     }
-    new ThetaSketch(math.min(nominalK, other.nominalK), t, out)
+    trimTo(math.min(nominalK, other.nominalK), t, out)
   }
 
   /** Difference (A \ B) estimate sketch. */
@@ -104,7 +116,7 @@ final class ThetaSketch private (
       val h = it.next()
       if (h < t && !other.entries.contains(h)) out.add(h)
     }
-    new ThetaSketch(math.min(nominalK, other.nominalK), t, out)
+    trimTo(math.min(nominalK, other.nominalK), t, out)
   }
 
   def union(other: ThetaSketch): ThetaSketch = copy().mergeInPlace(other)

@@ -51,9 +51,15 @@ object MediaCodecs {
           w <- token().map(_.toInt)
           h <- token().map(_.toInt)
           maxv <- token().map(_.toInt)
-          if maxv == 255 && w > 0 && h > 0
+          // dimension sanity BEFORE any size arithmetic: a corrupt header
+          // like 46341x46341 overflows w*h*3 in Int (wraps negative or to
+          // 0), which would either crash copyOfRange or fabricate an
+          // empty-pixel "valid" image — both violate the never-throw
+          // contract on untrusted web bytes. 2^14 per side caps the body
+          // at 0.75 GiB, far beyond any real row.
+          if maxv == 255 && w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14)
           _ = { i += 1 } // single whitespace after maxval per spec
-          if end - i >= w * h * 3
+          if (end - i).toLong >= w.toLong * h * 3
         } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
       } else None
     } catch { case _: NumberFormatException => None }

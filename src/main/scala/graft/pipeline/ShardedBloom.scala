@@ -65,13 +65,35 @@ object ShardedBloom {
     Array.tabulate(buckets)(b => m.getOrElse(b, empty))
   }
 
+  // One broadcast per distinct shard ARRAY, not per call: probe columns
+  // are often constructed per query in a long-lived session, and each
+  // broadcast pins B × blob bytes on the driver and every executor until
+  // unpersisted. Weak keys let a dropped shard array (and with it the
+  // broadcast handle) be reclaimed.
+  private val broadcastCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Byte]], Broadcast[Array[Array[Byte]]]]())
+
   /** Probe column: routes `key` to its shard and probes it. The shard
     * array becomes ONE broadcast variable (torrent-distributed, one copy
-    * per executor) read by a codegen'd expression — the plan carries only
-    * the broadcast handle, so task size is independent of B × blob bytes.
+    * per executor, memoized per array instance across calls) read by a
+    * codegen'd expression — the plan carries only the broadcast handle,
+    * so task size is independent of B × blob bytes. For explicit
+    * lifecycle control (`destroy()` after the last probe), use the
+    * `Broadcast`-taking overload below.
     */
-  def mightContain(shards: Array[Array[Byte]], key: Column): Column =
-    mightContain(SparkSession.active.sparkContext.broadcast(shards), key)
+  def mightContain(shards: Array[Array[Byte]], key: Column): Column = {
+    val bc = broadcastCache.synchronized {
+      val cached = broadcastCache.get(shards)
+      if (cached != null) cached
+      else {
+        val b = SparkSession.active.sparkContext.broadcast(shards)
+        broadcastCache.put(shards, b)
+        b
+      }
+    }
+    mightContain(bc, key)
+  }
 
   /** As [[mightContain]] with a caller-managed broadcast (reuse one
     * broadcast across many probe queries; `destroy()` it when done).

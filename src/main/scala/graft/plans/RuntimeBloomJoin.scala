@@ -80,20 +80,30 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Structural idempotence marker: an injected filter carries a
     * `BloomMightContain` over a `ScalarSubquery` whose root aggregate is
-    * aliased [[RuntimeBloomJoin.MarkerAlias]].
+    * aliased [[RuntimeBloomJoin.MarkerAlias]]. The check is scoped to THIS
+    * join's probe key and only looks through the Filter/Project spine at
+    * the top of `left` — a marker belonging to a lower join in a join
+    * chain (a different key) must NOT suppress this join's rewrite, but a
+    * fixpoint re-run over an already-rewritten join must.
     */
-  private def alreadyInjected(left: LogicalPlan): Boolean = left.exists {
-    case Filter(c, _) => c.exists {
-      case BloomMightContain(s: ScalarSubquery, _) => s.plan match {
+  private def alreadyInjected(left: LogicalPlan, lk: Expression): Boolean = {
+    val expectedKey = Cast(lk, StringType)
+    def isOurProbe(c: Expression): Boolean = c.exists {
+      case BloomMightContain(s: ScalarSubquery, probeKey) => (s.plan match {
         case agg: Aggregate => agg.aggregateExpressions.exists {
           case a: Alias => a.name == RuntimeBloomJoin.MarkerAlias
           case _ => false
         }
         case _ => false
-      }
+      }) && probeKey.semanticEquals(expectedKey)
       case _ => false
     }
-    case _ => false
+    def spine(p: LogicalPlan): Boolean = p match {
+      case Filter(c, child) => isOurProbe(c) || spine(child)
+      case Project(_, child) => spine(child)
+      case _ => false
+    }
+    spine(left)
   }
 
   private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean = {
@@ -113,9 +123,9 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case j @ Join(left, right, jt, Some(cond), _)
-          if (jt == Inner || jt == LeftSemi) && !alreadyInjected(left) && eligible(left, right) =>
+          if (jt == Inner || jt == LeftSemi) && eligible(left, right) =>
         findEquiKey(cond, left, right) match {
-          case Some((lk, rk)) =>
+          case Some((lk, rk)) if !alreadyInjected(left, lk) =>
             val n = right.stats.rowCount.map(_.toLong.max(1024L)).getOrElse(estimatedKeys)
             val buildKey = Cast(rk, StringType)
             val agg = Aggregate(Nil,
@@ -124,7 +134,7 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               right)
             val probe = BloomMightContain(ScalarSubquery(agg), Cast(lk, StringType))
             j.copy(left = Filter(probe, left))
-          case None => j
+          case _ => j // no usable equi-key, or this key already filtered
         }
     }
 }

@@ -151,6 +151,12 @@ class SketchesSpec extends AnyFunSuite {
     val r = CmsSketch.deserialize(cms.serialize())
     assert(r.table.toSeq == cms.table.toSeq && r.totalCount == cms.totalCount)
     assert(r.depth == cms.depth && r.width == cms.width)
+    // a blob from a different format/hash-family revision fails LOUDLY —
+    // silently recomputing buckets under a new family would break the
+    // one-sided guarantee
+    val wrongMagic = cms.serialize()
+    wrongMagic(0) = (wrongMagic(0) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](CmsSketch.deserialize(wrongMagic))
   }
 
   // ---------------- t-digest ----------------

@@ -68,6 +68,21 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(r.estimateLong == a.estimateLong && r.theta == a.theta && r.retained == a.retained)
   }
 
+  test("cross-k set ops keep retained <= result k (invariant survives further ops)") {
+    val big = build((0 until 50000).map(i => s"x$i"), 4096)
+    val tiny = build((40000 until 50000).map(i => s"x$i"), 64)
+    for (r <- Seq(big.aNotB(tiny), big.intersect(tiny))) {
+      assert(r.nominalK == 64 && r.retained <= 64, s"k=${r.nominalK} retained=${r.retained}")
+      r.addHash(1L) // must not corrupt state
+      assert(r.retained <= 64 + 1 && r.theta > 0)
+    }
+    // estimates still track exact values after the trim (k=64 sample:
+    // RSE ~12.6%; sanity window rather than a tight σ bound — the diff
+    // sample passes through two thinning steps)
+    val est = big.aNotB(tiny).estimate
+    assert(est >= 40000 * 0.4 && est <= 40000 * 1.6, s"est=$est")
+  }
+
   test("incompatible k refuses to merge") {
     val a = ThetaSketch.empty(1024)
     val b = ThetaSketch.empty(2048)

@@ -18,6 +18,11 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodePpm("P6\n2 2\n255\nab".getBytes).isEmpty) // truncated body
     assert(MediaCodecs.decodePpm("P6\nxx 2\n255\n".getBytes).isEmpty) // non-numeric
     assert(MediaCodecs.decodePpm(Array[Byte]()).isEmpty)
+    // adversarial dimensions: w*h*3 wraps negative / to zero in Int — must
+    // reject, not crash or fabricate an empty-pixel "valid" image
+    assert(MediaCodecs.decodePpm("P6\n46341 46341\n255\n....".getBytes).isEmpty)
+    assert(MediaCodecs.decodePpm("P6\n65536 65536\n255\n....".getBytes).isEmpty)
+    assert(MediaCodecs.decodePpm("P6\n2147483647 3\n255\n..".getBytes).isEmpty)
   }
 
   test("WAV PCM16 mono round-trip; wrong format rejected") {

@@ -97,6 +97,32 @@ class RuntimeBloomJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("join chain: EACH eligible join gets its own filter (markers are per-key)") {
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val fact = (0 until 20000).map(i => (i.toLong, (i % 700).toLong)).toDF("k1", "k2")
+      val dim1 = (0 until 500).map(i => i.toLong * 7).toDF("d1")
+      val dim2 = (0 until 100).map(i => i.toLong * 3).toDF("d2")
+      val df = fact.join(dim1, $"k1" === $"d1").join(dim2, $"k2" === $"d2")
+      val plan = optimizedString(df)
+      val probes = plan.split("bloom_might_contain").length - 1
+      assert(probes == 2, s"expected a probe per join, got $probes:\n$plan")
+      // results still exact
+      val expect = fact.collect().count { case org.apache.spark.sql.Row(k1: Long, k2: Long) =>
+        k1 % 7 == 0 && k1 / 7 < 500 && k2 % 3 == 0 && k2 / 3 < 100
+      }
+      assert(df.count() == expect)
+    }
+  }
+
+  test("serializedSize equals serialize().length for tagged custom-hasher blobs") {
+    val s = graft.core.BloomSketch.empty(1000, 0.01f, graft.core.Poly31BloomHasher)
+    s.add("x")
+    assert(s.serializedSize == s.serialize().length)
+    val d = graft.core.BloomSketch.empty(1000, 0.01f)
+    d.add("x")
+    assert(d.serializedSize == d.serialize().length) // C format untouched
+  }
+
   test("rewritten join answers a string-key query identically (cast path)") {
     val p = (0 until 5000).map(i => (s"url-$i", i)).toDF("u", "x")
     val b = (0 until 100).map(i => s"url-${i * 31}").toDF("u")
