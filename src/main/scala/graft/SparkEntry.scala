@@ -440,6 +440,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- URL canonicalization (crawl-level dedup key): scheme/host case,
+    // default ports, fragments, tracking params, param order all collapse ---
+    "q38_url_canonical" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTP://Example"), col("doc_id") % 50, lit(".COM:80/path/"), col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1#frag"))
+            .otherwise(lit("?a=1&b=2"))).as("url"))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- salted two-level aggregation == unsalted (hot-key skew defuse) ---
     "q19_salted_group" -> ((s, dir) => {
       val d = T(s, dir, "documents")
@@ -829,6 +840,31 @@ object SparkEntry {
         |      - least(punct_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7
         |      - least(digit_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7)) AS score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q38_url_canonical" ->
+      """WITH d AS (SELECT doc_id, 'HTTP://Example' || CAST(doc_id % 50 AS VARCHAR)
+        |  || '.COM:80/path/' || CAST(doc_id AS VARCHAR)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1#frag' ELSE '?a=1&b=2' END AS url
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS pathqf FROM d),
+        |m2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |       ELSE hostraw END AS host,
+        |  regexp_extract(pathqf, '^([^?#]*)', 1) AS path,
+        |  regexp_extract(pathqf, '\?([^#]*)', 1) AS query FROM m),
+        |m3 AS (SELECT doc_id, scheme, host, path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+        |         AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))), '&') AS cq
+        | FROM m2)
+        |SELECT doc_id, scheme || '://' || host
+        |  || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |  || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon
+        |FROM m3 ORDER BY doc_id""".stripMargin,
 
     "q34_normalized_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents

@@ -61,6 +61,32 @@ object TextOps {
         size(words).cast("double"))
   }
 
+  /** Canonical URL form for crawl-level dedup (the standard web-pipeline
+    * normalization; cf. RFC 3986 §6 syntax-based normalization):
+    * lowercase scheme+host, drop the default port (80/443 per scheme),
+    * drop the fragment, drop tracking parameters (`utm_*`, `gclid`,
+    * `fbclid`), sort the remaining query parameters, and make the empty
+    * path `/`. Two crawls of the same page with reordered/tracking
+    * params then fingerprint identically. Pure built-in expressions
+    * (regex + array ops — codegen'd), mirrored verbatim by the oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val pathQf = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(pathQf, "^([^?#]*)", 1)
+    val query = regexp_extract(pathQf, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") && !p.startsWith("gclid=") && !p.startsWith("fbclid=")))
+    val canonQuery = array_join(params, "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery)))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. Small fixed lists (deterministic; public common words).
     */

@@ -38,6 +38,23 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0.75) // 4 words, 1 distinct
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracking/param-order variants collapse") {
+    val urls = Seq(
+      (1L, "HTTP://Example.COM:80/a?b=2&a=1&utm_source=x#frag"),
+      (2L, "http://example.com/a?a=1&b=2"),
+      (3L, "https://Example.com:443/"),
+      (4L, "https://example.com"),
+      (5L, "https://example.com:8443/x?gclid=123&z=9"),
+      (6L, "http://example.com/a?a=1&b=3")).toDF("id", "u")
+    val canon = urls.select($"id", TextOps.canonicalizeUrl($"u").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(canon(1L) == canon(2L), s"${canon(1L)} vs ${canon(2L)}")
+    assert(canon(1L) == "http://example.com/a?a=1&b=2")
+    assert(canon(3L) == canon(4L) && canon(3L) == "https://example.com/")
+    assert(canon(5L) == "https://example.com:8443/x?z=9") // non-default port kept
+    assert(canon(6L) != canon(2L)) // different param VALUE stays distinct
+  }
+
   test("paragraphDedup: hot paragraphs drop everywhere, order preserved, empty doc survives as empty") {
     val docs = (0 until 60).map { i =>
       (i.toLong, s"COOKIE BANNER\nunique paragraph $i alpha\nCOOKIE BANNER\nunique paragraph $i beta")
