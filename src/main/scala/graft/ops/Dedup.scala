@@ -76,25 +76,28 @@ object Dedup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("id"), minhash_signature(col(textCol), numHashes, shingleWidth).as("sig"))
-    // one row per (doc, band): bucket key = hash of the band's slice
-    val banded0 = sigs.select(col("id"), col("sig"),
+    // one row per (doc, band), carrying ONLY (band, bucket, id): the
+    // banding exchange must never ship the numHashes×8-byte signatures —
+    // at 10^6 docs that alone is ~8 GB per join side vs ~0.4 GB of id
+    // rows (measured ~2× end-to-end). Signatures re-join the (tiny,
+    // distinct) candidate set afterwards for scoring.
+    val banded0 = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val banded = dropHotBuckets(banded0, Seq("band", "bucket"), maxBandFreq)
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // score BEFORE distinct: est_jaccard is a pure function of the pair, so
-    // deduplicating (id_a, id_b, est) is equivalent — and the shuffle rows
-    // carry 24 bytes instead of two numHashes*8-byte signatures
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ maxDistance (≤ 15),
