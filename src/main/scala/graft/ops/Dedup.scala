@@ -243,13 +243,22 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, planes: Int = 8,
                             seed: Long = 42L, maxBucketFreq: Long = Long.MaxValue): DataFrame = {
-    val bucketed0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // bucket join on ids only (same discipline as minHashPairs: never
+    // ship the vectors through the self-join exchange); vectors re-join
+    // the candidate pairs for exact scoring
+    val bucketed0 = vecs.select(col("id"),
+      Similarity.hyperplaneBucket(col("v"), planes, seed).as("bucket"))
     val bucketed = dropHotBuckets(bucketed0, Seq("bucket"), maxBucketFreq)
-    bucketed.as("x").join(bucketed.as("y"),
+    val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Similarity.cosineColumn(col("x.v"), col("y.v")).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineColumn(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
