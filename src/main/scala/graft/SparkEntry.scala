@@ -854,8 +854,8 @@ object SparkEntry {
         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
         |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
         |       ELSE hostraw END AS host,
-        |  regexp_extract(pathqf, '^([^?#]*)', 1) AS path,
-        |  regexp_extract(pathqf, '\?([^#]*)', 1) AS query FROM m),
+        |  regexp_extract(regexp_extract(pathqf, '^([^#]*)', 1), '^([^?]*)', 1) AS path,
+        |  regexp_extract(regexp_extract(pathqf, '^([^#]*)', 1), '\?(.*)$', 1) AS query FROM m),
         |m3 AS (SELECT doc_id, scheme, host, path,
         |  array_to_string(list_sort(list_filter(string_split(query, '&'),
         |    p -> length(p) > 0 AND NOT starts_with(p, 'utm_')

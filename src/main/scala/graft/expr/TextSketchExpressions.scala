@@ -102,18 +102,23 @@ private[graft] object TextShingles {
   * minhash values over word shingles. Signature agreement fraction is an
   * unbiased estimator of shingle-set Jaccard similarity (Broder 1997).
   *
-  * Implementation: ONE-PERMUTATION HASHING (Li, Owen, Zhang, "One
-  * Permutation Hashing", NIPS 2012) with rotation densification
-  * (Shrivastava & Li, "Improved Densification of One Permutation
-  * Hashing", UAI 2014): each shingle is hashed ONCE and routed to one of
-  * k bins; the signature is the per-bin minimum, and empty bins borrow
-  * (cyclically, re-mixed) from the next non-empty bin. Cost is
-  * O(shingles + k) per document instead of classic minhash's
-  * O(k × shingles) — measured 20-40× faster signatures at k=64 on web
-  * pages, which is the map-side hot loop of LSH dedup at corpus scale.
-  * Same estimator contract: E[matching bins / k] = Jaccard; identical
-  * texts always produce identical signatures (so exact-duplicate classes
-  * still collide in every band). Deterministic across runs/partitions.
+  * Implementation is hybrid by shingle count:
+  *  - '''dense docs (shingles ≥ k)''' — ONE-PERMUTATION HASHING (Li,
+  *    Owen, Zhang, NIPS 2012) with rotation densification over the
+  *    ORIGINAL bin occupancy (Shrivastava & Li, UAI 2014): each shingle
+  *    is hashed once and routed to one of k bins; the signature is the
+  *    per-bin minimum; empty bins borrow (cyclically, re-mixed with the
+  *    distance) from the next originally-non-empty bin. O(shingles + k)
+  *    per document instead of classic minhash's O(k × shingles) — the
+  *    map-side hot loop of LSH dedup at corpus scale;
+  *  - '''sparse docs (shingles < k)''' — classic per-seed minhash
+  *    (Broder's estimator exactly). OPH degrades here: a one-shingle doc
+  *    whose shingle set is a SUBSET of another's can produce an
+  *    identical signature (est 1.0 for true Jaccard 0.5), and classic
+  *    minhash costs only O(k × shingles) ≤ O(k²) on these docs anyway.
+  *
+  * Identical texts always produce identical signatures (exact-duplicate
+  * classes collide in every band). Deterministic across runs/partitions.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int)
     extends UnaryExpression with GraftTypeCheck {
@@ -124,30 +129,51 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def expectedTypes = Seq(GraftTypeCheck.string)
 
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => Fnv.splitmix64(0x5EED0000L + 2L * i + 1L))
+
   def probe(v: UTF8String): ArrayData = {
     val hs = TextShingles.shingleHashes(v.toString, shingleWidth)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    var j = 0
-    while (j < hs.length) {
-      val h = hs(j)
-      // bin from the high bits, compared value an independent mix of the
-      // full hash — bin and value stay uncorrelated
-      val b = java.lang.Long.remainderUnsigned(h >>> 32, numHashes.toLong).toInt
-      val vmix = Fnv.splitmix64(h)
-      if (vmix < sig(b)) sig(b) = vmix
-      j += 1
-    }
-    // rotation densification: empty bin <- next non-empty bin clockwise,
-    // re-mixed with the distance so different empty bins borrowing from
-    // the same source still differ (preserves the collision estimator)
-    if (hs.length > 0) {
+    if (hs.length < numHashes) {
+      // classic path for sparse docs (exact Broder estimator, cheap here)
       var i = 0
       while (i < numHashes) {
-        if (sig(i) == Long.MaxValue) {
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val h = Fnv.splitmix64(hs(j) ^ seeds(i))
+          if (h < mn) mn = h
+          j += 1
+        }
+        sig(i) = mn
+        i += 1
+      }
+    } else {
+      var j = 0
+      while (j < hs.length) {
+        val h = hs(j)
+        // bin from the high bits, compared value an independent mix of
+        // the full hash — bin and value stay uncorrelated
+        val b = java.lang.Long.remainderUnsigned(h >>> 32, numHashes.toLong).toInt
+        val vmix = Fnv.splitmix64(h)
+        if (vmix < sig(b)) sig(b) = vmix
+        j += 1
+      }
+      // rotation densification over a SNAPSHOT of original occupancy —
+      // borrowing must come from an originally-filled bin, never from a
+      // bin itself filled by densification (chained borrows would make
+      // densified values scan-order artifacts, distorting the per-bin
+      // collision probability)
+      val filled = new Array[Boolean](numHashes)
+      var i = 0
+      while (i < numHashes) { filled(i) = sig(i) != Long.MaxValue; i += 1 }
+      i = 0
+      while (i < numHashes) {
+        if (!filled(i)) {
           var t = 1
-          while (t <= numHashes && sig((i + t) % numHashes) == Long.MaxValue) t += 1
-          if (t <= numHashes)
-            sig(i) = Fnv.splitmix64(sig((i + t) % numHashes) + t.toLong)
+          while (t < numHashes && !filled((i + t) % numHashes)) t += 1
+          sig(i) = Fnv.splitmix64(sig((i + t) % numHashes) + t.toLong)
         }
         i += 1
       }

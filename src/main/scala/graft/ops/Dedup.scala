@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *  - simhash uses the pigeonhole banding trick: distance ≤ 3 of 64 bits ⇒
   *    at least one of 4 16-bit chunks is equal, so an equi-join on chunks
   *    finds all candidates;
-  *  - recomputation: the capped paths consume their signature/fingerprint
-  *    table twice (hot-bucket count, then the join). Spark recomputes
-  *    lineage per consumer; at 100-TB scale materialize the signature
-  *    table once (parquet checkpoint — `TableIO` layout — or
-  *    `localCheckpoint`) and feed both consumers from it, exactly like
+  *  - recomputation: the capped minhash path consumes its signature
+  *    table SEVERAL times (hot-bucket count, both sides of the banding
+  *    join, and the two candidate-scoring re-joins — ~5 consumers; the
+  *    embedding path similarly re-derives buckets/vectors per consumer).
+  *    Spark recomputes lineage per consumer, so at 100-TB scale
+  *    materialize the signature table once (parquet checkpoint —
+  *    `TableIO` layout — or `localCheckpoint`) and feed every consumer
+  *    from it, exactly like
   *    [[graft.pipeline.SketchPipeline.buildCheckpointed]] does for
   *    sketch partials. At test scale recomputation is cheaper than a
   *    cache, so these operators leave persistence to the caller.
@@ -250,10 +253,12 @@ object Dedup {
     val bucketed0 = vecs.select(col("id"),
       Similarity.hyperplaneBucket(col("v"), planes, seed).as("bucket"))
     val bucketed = dropHotBuckets(bucketed0, Seq("bucket"), maxBucketFreq)
+    // no distinct needed: each id has exactly ONE bucket row, so the
+    // self-join emits each ordered pair at most once (unlike the
+    // multi-band minhash join)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))

@@ -77,14 +77,21 @@ object TextOps {
       .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
       .otherwise(hostRaw)
     val pathQf = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
-    val path = regexp_extract(pathQf, "^([^?#]*)", 1)
-    val query = regexp_extract(pathQf, "\\?([^#]*)", 1)
+    // strip the fragment FIRST: a '?' inside a fragment (SPA routes like
+    // "#sec?tab=2") is fragment content, not a query string
+    val preFrag = regexp_extract(pathQf, "^([^#]*)", 1)
+    val path = regexp_extract(preFrag, "^([^?]*)", 1)
+    val query = regexp_extract(preFrag, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"), p =>
       length(p) > 0 && !p.startsWith("utm_") && !p.startsWith("gclid=") && !p.startsWith("fbclid=")))
     val canonQuery = array_join(params, "&")
-    concat(scheme, lit("://"), host,
-      when(path === "", lit("/")).otherwise(path),
-      when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery)))
+    // schemeless / relative / malformed input has no canonical absolute
+    // form — pass it through unchanged rather than collapsing every such
+    // row onto one ":///" dedup key
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host,
+        when(path === "", lit("/")).otherwise(path),
+        when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery))))
   }
 
   /** Stopword lists per language for the n-gram/stopword language-ID

@@ -55,6 +55,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(canon(6L) != canon(2L)) // different param VALUE stays distinct
   }
 
+  test("canonicalizeUrl: schemeless inputs pass through; '?' inside a fragment is not a query") {
+    val urls = Seq(
+      (1L, "example.com/a"),
+      (2L, "//cdn.example.com/b"),
+      (3L, "mailto:someone"),
+      (4L, "http://example.com/page#sec?tab=2"),
+      (5L, "http://example.com/page")).toDF("id", "u")
+    val canon = urls.select($"id", TextOps.canonicalizeUrl($"u").as("c"))
+      .as[(Long, String)].collect().toMap
+    // no-scheme rows keep their original form — never collapse onto one key
+    assert(canon(1L) == "example.com/a" && canon(2L) == "//cdn.example.com/b"
+      && canon(3L) == "mailto:someone")
+    // fragment stripped whole: the '?' inside it is fragment content
+    assert(canon(4L) == "http://example.com/page")
+    assert(canon(4L) == canon(5L))
+  }
+
+  test("minhash sparse docs: a subset pair must NOT get est_jaccard 1.0") {
+    // 3 tokens vs 4 tokens at w=3: shingle sets {s} vs {s,t}, J = 0.5 —
+    // the OPH bin trick could collapse these; the classic sparse path
+    // must keep them apart
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta")).toDF("id", "text")
+    val pairs = Dedup.minHashPairs(docs, "id", "text", 64, 16, 3, 0.9)
+    assert(pairs.count() == 0, "subset pair must not look identical")
+    val loose = Dedup.minHashPairs(docs, "id", "text", 64, 16, 3, 0.25)
+      .select($"est_jaccard").collect()
+    loose.foreach { r =>
+      val est = r.getDouble(0)
+      assert(est < 0.95 && est > 0.2, s"est=$est should be near true J=0.5")
+    }
+  }
+
   test("paragraphDedup: hot paragraphs drop everywhere, order preserved, empty doc survives as empty") {
     val docs = (0 until 60).map { i =>
       (i.toLong, s"COOKIE BANNER\nunique paragraph $i alpha\nCOOKIE BANNER\nunique paragraph $i beta")
