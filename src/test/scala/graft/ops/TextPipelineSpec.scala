@@ -72,6 +72,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(canon(4L) == canon(5L))
   }
 
+  test("null-text robustness: every curation op survives null/empty text without task failure") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a normal document with several words in it"),
+      (2L, null), (3L, ""), (4L, "   "),
+      (5L, "a normal document with several words in it")).toDF("id", "text")
+    assert(Dedup.exactGroups(df, "id", "text").count() >= 3) // null fp groups separately, no crash
+    assert(Dedup.minHashPairs(df, "id", "text", 64, 16, 3, 0.9).count() >= 1) // 1-5 pair found
+    assert(Dedup.simHashPairs(df, "id", "text", 3).count() >= 1)
+    assert(Dedup.paragraphDedup(df, "id", "text", 100).count() == 5) // all rows survive
+    val stats = df.select(
+      TextOps.dupLineFraction($"text"), TextOps.dupWordFraction($"text"),
+      TextOps.normalizeForDedup($"text"), TextOps.canonicalizeUrl($"text")).collect()
+    assert(stats.length == 5) // null in -> null out, never a throw
+  }
+
   test("minhash sparse docs: a subset pair must NOT get est_jaccard 1.0") {
     // 3 tokens vs 4 tokens at w=3: shingle sets {s} vs {s,t}, J = 0.5 —
     // the OPH bin trick could collapse these; the classic sparse path
