@@ -87,6 +87,7 @@ object SketchJob {
     def battery(kc: Column): Seq[Column] = Seq(
       bloom_sketch(kc, a.n, a.p, bloomHasher).as("bloom"),
       hll_sketch(kc, 14).as("hll"),
+      theta_sketch(kc, 4096).as("theta"), // distinct WITH set algebra across runs/groups
       cms_sketch(kc, 0.0001, 0.01).as("cms"),
       tdigest_sketch(num, 100.0).as("tdigest"),
       kll_sketch(num, 200).as("kll"),
@@ -107,6 +108,7 @@ object SketchJob {
         stage1.groupBy(col(g)).agg(
           bloom_merge(col("bloom")).as("bloom"),
           hll_merge_agg(col("hll")).as("hll"),
+          theta_merge(col("theta")).as("theta"),
           cms_merge(col("cms")).as("cms"),
           tdigest_merge(col("tdigest")).as("tdigest"),
           kll_merge(col("kll")).as("kll"),
