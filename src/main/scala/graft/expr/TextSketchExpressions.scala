@@ -111,11 +111,21 @@ private[graft] object TextShingles {
   *    distance) from the next originally-non-empty bin. O(shingles + k)
   *    per document instead of classic minhash's O(k × shingles) — the
   *    map-side hot loop of LSH dedup at corpus scale;
-  *  - '''sparse docs (shingles < k)''' — classic per-seed minhash
-  *    (Broder's estimator exactly). OPH degrades here: a one-shingle doc
-  *    whose shingle set is a SUBSET of another's can produce an
-  *    identical signature (est 1.0 for true Jaccard 0.5), and classic
-  *    minhash costs only O(k × shingles) ≤ O(k²) on these docs anyway.
+  *  - '''tiny docs (shingles < k/8)''' — classic per-seed minhash
+  *    (Broder's estimator exactly). OPH degrades specifically here: a
+  *    subset pair A ⊂ B with u extra shingles gets an IDENTICAL
+  *    signature with probability ≈ (s/k)^u/2^u (every extra shingle
+  *    must land in an occupied bin without winning the min), and for a
+  *    subset to be a genuine non-near-dup (J = s/(s+u) well below
+  *    threshold) u must be a large fraction of s — only plausible when
+  *    s is a handful (e.g. s=1, u=1: J=0.5, collapse prob ~1/2k...
+  *    measured est 1.0). At s ≥ k/8 a harmful collapse needs u ≥ s/3
+  *    extras ALL colliding — probability (s/k)^(s/3), negligible —
+  *    while one-extra-shingle collapses (est 1.0 vs true J = s/(s+1) ≥
+  *    0.89) are above any dedup threshold anyway. Classic costs only
+  *    O(k × s) ≤ O(k²/8) on these docs, so the hybrid keeps the exact
+  *    estimator where it matters and the O(s + k) path for real pages
+  *    (median web doc here: ~27 shingles ≥ 64/8).
   *
   * Identical texts always produce identical signatures (exact-duplicate
   * classes collide in every band). Deterministic across runs/partitions.
@@ -135,8 +145,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
   def probe(v: UTF8String): ArrayData = {
     val hs = TextShingles.shingleHashes(v.toString, shingleWidth)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (hs.length < numHashes) {
-      // classic path for sparse docs (exact Broder estimator, cheap here)
+    if (hs.length * 8 < numHashes) {
+      // classic path for tiny docs (exact Broder estimator, cheap here)
       var i = 0
       while (i < numHashes) {
         var mn = Long.MaxValue
