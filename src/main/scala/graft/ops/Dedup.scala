@@ -42,6 +42,19 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Crawl-level URL dedup: keep one row (smallest id) per CANONICAL URL
+    * ([[TextOps.canonicalizeUrl]] — case/port/fragment/tracking-param/
+    * param-order variants collapse). One hash shuffle on the canonical
+    * key, same shape as [[exactDedup]].
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keep = df
+      .groupBy(TextOps.canonicalizeUrl(col(urlCol)).as("__canon"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Scale guard shared by the LSH banding joins: drop (band-)buckets with
     * more than `cap` members before the self-join. A bucket shared by F
     * docs emits F²/2 join rows — on web corpora, boilerplate/empty

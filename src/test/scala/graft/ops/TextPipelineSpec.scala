@@ -87,6 +87,16 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(stats.length == 5) // null in -> null out, never a throw
   }
 
+  test("dedupByUrl: keeps one row per canonical URL, smallest id wins") {
+    val rows = Seq(
+      (3L, "HTTP://A.com:80/x?b=2&a=1"),
+      (1L, "http://a.com/x?a=1&b=2&utm_source=z"),
+      (2L, "http://a.com/y"),
+      (4L, "not a url at all")).toDF("id", "url")
+    val kept = Dedup.dedupByUrl(rows, "id", "url").select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L)) // 3 is a canonical duplicate of 1
+  }
+
   test("minhash sparse docs: a subset pair must NOT get est_jaccard 1.0") {
     // 3 tokens vs 4 tokens at w=3: shingle sets {s} vs {s,t}, J = 0.5 —
     // the OPH bin trick could collapse these; the classic sparse path
