@@ -879,7 +879,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
         |   THEN 'SHARED BOILERPLATE LINE' || chr(10) || text ELSE text END AS text FROM documents),
         |hot AS (SELECT para FROM (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS para FROM d)
-        |  GROUP BY para HAVING count(*) >= 50),
+        |  WHERE length(trim(para)) > 0 GROUP BY para HAVING count(*) >= 50),
         |hl AS (SELECT coalesce(list(para), []) AS ps FROM hot)
         |SELECT doc_id, array_to_string(list_filter(string_split(text, chr(10)),
         |  p -> NOT list_contains(hl.ps, p)), chr(10)) AS text

@@ -111,9 +111,9 @@ private[graft] object TextShingles {
   *    distance) from the next originally-non-empty bin. O(shingles + k)
   *    per document instead of classic minhash's O(k × shingles) — the
   *    map-side hot loop of LSH dedup at corpus scale;
-  *  - '''tiny docs (shingles < k/8)''' — classic per-seed minhash
-  *    (Broder's estimator exactly). OPH degrades specifically here: a
-  *    subset pair A ⊂ B with u extra shingles gets an IDENTICAL
+  *  - '''tiny docs (shingles ≤ classicMaxShingles)''' — classic per-seed
+  *    minhash (Broder's estimator exactly). OPH degrades specifically
+  *    here: a subset pair A ⊂ B with u extra shingles gets an IDENTICAL
   *    signature with probability ≈ (s/k)^u/2^u (every extra shingle
   *    must land in an occupied bin without winning the min), and for a
   *    subset to be a genuine non-near-dup (J = s/(s+u) well below
@@ -123,17 +123,36 @@ private[graft] object TextShingles {
   *    extras ALL colliding — probability (s/k)^(s/3), negligible —
   *    while one-extra-shingle collapses (est 1.0 vs true J = s/(s+1) ≥
   *    0.89) are above any dedup threshold anyway. Classic costs only
-  *    O(k × s) ≤ O(k²/8) on these docs, so the hybrid keeps the exact
-  *    estimator where it matters and the O(s + k) path for real pages
-  *    (median web doc here: ~27 shingles ≥ 64/8).
+  *    O(k × s) on these docs, so the hybrid keeps the exact estimator
+  *    where it matters and the O(s + k) path for real pages (median web
+  *    doc here: ~27 shingles ≥ 64/8).
+  *
+  * '''Cross-path comparability.''' Signatures from the two paths are NOT
+  * comparable: a pair straddling the cutoff gets ~random signature
+  * agreement and will never collide in any band. A straddling pair
+  * (s_a ≤ c < s_b at cutoff c) has Jaccard ≤ s_a/s_b ≤ c/(c+1), so the
+  * boundary is HARMLESS for any dedup threshold t > c/(c+1) — callers
+  * that know their threshold (e.g. [[graft.ops.Dedup.minHashPairs]])
+  * pass `classicMaxShingles = ceil(t/(1-t)) - 1` (then c/(c+1) < t
+  * exactly) and the boundary can only hide pairs already below
+  * threshold. The default `-1` keeps the cost/quality rule
+  * `s ≤ (k-1)/8`, whose boundary (c/(c+1) = 7/8 at k=64) is only safe
+  * for t > 7/8; at looser thresholds prefer the explicit cutoff.
   *
   * Identical texts always produce identical signatures (exact-duplicate
   * classes collide in every band). Deterministic across runs/partitions.
   */
-case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int)
+case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int,
+                            classicMaxShingles: Int = -1)
     extends UnaryExpression with GraftTypeCheck {
   require(numHashes > 0 && numHashes <= 1024, s"numHashes in (0,1024], got $numHashes")
   require(shingleWidth > 0, s"shingleWidth > 0, got $shingleWidth")
+
+  /** Effective classic-path cutoff: docs with `shingles <= cutoff` take
+    * the classic path. Sentinel -1 = the k/8 cost rule.
+    */
+  private val classicCutoff: Int =
+    if (classicMaxShingles >= 0) classicMaxShingles else (numHashes - 1) / 8
 
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -145,7 +164,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
   def probe(v: UTF8String): ArrayData = {
     val hs = TextShingles.shingleHashes(v.toString, shingleWidth)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (hs.length * 8 < numHashes) {
+    if (hs.length <= classicCutoff) {
       // classic path for tiny docs (exact Broder estimator, cheap here)
       var i = 0
       while (i < numHashes) {

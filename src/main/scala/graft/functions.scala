@@ -114,8 +114,9 @@ object functions {
 
   // ----- text sketches (dedup / fingerprinting) -----
 
-  def minhash_signature(c: Column, numHashes: Int = 64, shingleWidth: Int = 3): Column =
-    col(MinHashSignature(ex(c), numHashes, shingleWidth))
+  def minhash_signature(c: Column, numHashes: Int = 64, shingleWidth: Int = 3,
+                        classicMaxShingles: Int = -1): Column =
+    col(MinHashSignature(ex(c), numHashes, shingleWidth, classicMaxShingles))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))

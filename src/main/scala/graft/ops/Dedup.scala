@@ -85,13 +85,34 @@ object Dedup {
     * `maxBandFreq` caps band-bucket membership (see [[dropHotBuckets]]) —
     * REQUIRED at web scale; the uncapped default keeps small-corpus runs
     * exact. Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    *
+    * Hybrid-path boundary: the signature expression routes tiny docs
+    * through classic minhash and the rest through OPH, and the two
+    * signature kinds are incomparable (a straddling pair never collides
+    * — see [[graft.expr.MinHashSignature]]). For `threshold > 2/3` the
+    * classic cutoff is derived from the threshold (`ceil(t/(1-t)) - 1`,
+    * floored at 2 for sparse-estimate quality, capped at the k/8 cost
+    * rule), which makes any straddling pair's Jaccard provably below
+    * `threshold` — the boundary cannot hide a reportable pair. For
+    * looser thresholds (≤ 2/3) the k/8 rule is kept and a DOCUMENTED
+    * recall hole remains for straddling pairs with J in
+    * [threshold, c/(c+1)]: shrinking further would trade the classic
+    * path's sparse-doc estimate fidelity for it.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                    threshold: Double = 0.7, maxBandFreq: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), minhash_signature(col(textCol), numHashes, shingleWidth).as("sig"))
+    // threshold-safe classic cutoff c: a straddling pair has J <= c/(c+1),
+    // and c = ceil(t/(1-t)) - 1 gives c/(c+1) < t exactly
+    val classicMax =
+      if (threshold > 2.0 / 3 && threshold < 1.0)
+        math.max(2, math.min((numHashes - 1) / 8,
+          math.ceil(threshold / (1.0 - threshold)).toInt - 1))
+      else (numHashes - 1) / 8
+    val sigs = df.select(col(idCol).as("id"),
+      minhash_signature(col(textCol), numHashes, shingleWidth, classicMax).as("sig"))
     // one row per (doc, band), carrying ONLY (band, bucket, id): the
     // banding exchange must never ship the numHashes×8-byte signatures —
     // at 10^6 docs that alone is ~8 GB per join side vs ~0.4 GB of id
@@ -234,7 +255,13 @@ object Dedup {
                      maxDocFreq: Long): DataFrame = {
     val paras = df.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__para")))
+    // blank/whitespace-only lines are structure, not boilerplate: nearly
+    // every real document contains one, so admitting them to hot-set
+    // candidacy would strip paragraph separation corpus-wide the moment
+    // maxDocFreq documents share a blank line (ccnet dedups content
+    // paragraphs only). They still flow through reassembly untouched.
     val hot = paras.select(col("__id"), col("__para")).distinct()
+      .filter(length(trim(col("__para"))) > 0)
       .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= maxDocFreq)
       .select(col("__para"))

@@ -137,13 +137,17 @@ object MediaCodecs {
     while (f < idx) {
       if (off + 4 > bytes.length) return None
       val len = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-      if (len < 0) return None
+      // adversarial length prefixes near Int.MaxValue would overflow
+      // `off + 4 + len` into a negative offset that slips past the bounds
+      // checks — reject any frame extending past the buffer BEFORE
+      // advancing (also exits early instead of walking garbage)
+      if (len < 0 || len > bytes.length - off - 4) return None
       off += 4 + len
       f += 1
     }
     if (off + 4 > bytes.length) return None
     val len = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    if (len < 0 || off + 4 + len > bytes.length) return None
+    if (len < 0 || len > bytes.length - off - 4) return None
     decodePpm(bytes, off + 4, len)
   }
 

@@ -65,30 +65,54 @@ object ShardedBloom {
     Array.tabulate(buckets)(b => m.getOrElse(b, empty))
   }
 
-  // One broadcast per distinct shard ARRAY, not per call: probe columns
+  // One broadcast per distinct shard-array CONTENT, bounded: probe columns
   // are often constructed per query in a long-lived session, and each
-  // broadcast pins B × blob bytes on the driver and every executor until
-  // unpersisted. Weak keys let a dropped shard array (and with it the
-  // broadcast handle) be reclaimed.
+  // broadcast pins B × blob bytes on every executor until unpersisted.
+  // Identity-weak caching is unreliable for reclamation (the cached
+  // Broadcast reaches the shard array, so a weak entry may never clear);
+  // instead the cache keys by an MD5 content digest (equal shard arrays
+  // share one broadcast even across re-collects) and evicts LRU beyond
+  // MaxCachedBroadcasts with `unpersist()` — executors drop their copies
+  // immediately, and once the evicted handle is unreferenced Spark's
+  // ContextCleaner completes the cleanup. For deterministic lifecycle
+  // (`destroy()` after the last probe) use the Broadcast-taking overload.
+  private val MaxCachedBroadcasts = 4
   private val broadcastCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Array[Array[Byte]], Broadcast[Array[Array[Byte]]]]())
+    new java.util.LinkedHashMap[String, Broadcast[Array[Array[Byte]]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Broadcast[Array[Array[Byte]]]]): Boolean = {
+        val evict = size() > MaxCachedBroadcasts
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  private def contentDigest(shards: Array[Array[Byte]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
+    shards.foreach { b =>
+      lenBuf.clear(); lenBuf.putInt(b.length)
+      md.update(lenBuf.array()); md.update(b)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   /** Probe column: routes `key` to its shard and probes it. The shard
     * array becomes ONE broadcast variable (torrent-distributed, one copy
-    * per executor, memoized per array instance across calls) read by a
-    * codegen'd expression — the plan carries only the broadcast handle,
-    * so task size is independent of B × blob bytes. For explicit
+    * per executor, memoized by content digest across calls, LRU-bounded)
+    * read by a codegen'd expression — the plan carries only the broadcast
+    * handle, so task size is independent of B × blob bytes. For explicit
     * lifecycle control (`destroy()` after the last probe), use the
     * `Broadcast`-taking overload below.
     */
   def mightContain(shards: Array[Array[Byte]], key: Column): Column = {
+    val digest = contentDigest(shards)
     val bc = broadcastCache.synchronized {
-      val cached = broadcastCache.get(shards)
+      val cached = broadcastCache.get(digest)
       if (cached != null) cached
       else {
         val b = SparkSession.active.sparkContext.broadcast(shards)
-        broadcastCache.put(shards, b)
+        broadcastCache.put(digest, b)
         b
       }
     }

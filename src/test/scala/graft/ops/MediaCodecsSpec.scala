@@ -50,6 +50,15 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeGvidFrame(vid, -1).isEmpty)
     assert(MediaCodecs.gvidFrameCount("XVID".getBytes ++ vid.drop(4)).isEmpty)
     assert(MediaCodecs.decodeGvidFrame(vid.take(20), 2).isEmpty) // truncated mid-container
+    // adversarial frame-length prefix near Int.MaxValue: off += 4 + len
+    // would overflow negative and slip past the bounds checks — must
+    // return None, never throw (never-throw contract on untrusted bytes)
+    val evil = vid.clone()
+    val lb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 2).array()
+    System.arraycopy(lb, 0, evil, 8, 4) // frame 0's length prefix
+    assert(MediaCodecs.decodeGvidFrame(evil, 2).isEmpty)
+    assert(MediaCodecs.decodeGvidFrame(evil, 0).isEmpty)
   }
 
   test("feature math: image means/thumbnail and audio rms/zcr are real, not hashes") {

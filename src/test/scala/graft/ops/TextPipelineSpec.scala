@@ -129,4 +129,35 @@ class TextPipelineSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(kept(0L) == "rare shared line\nbody 0")
   }
+
+  test("paragraphDedup: blank lines are never boilerplate — paragraph separation survives") {
+    // every doc has a blank separator line; it must NOT enter the hot set
+    // even though its doc frequency is far over the threshold
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"HOT FOOTER\npara $i one\n\npara $i two")
+    }
+    val out = Dedup.paragraphDedup(docs.toDF("id", "text"), "id", "text", maxDocFreq = 50)
+      .as[(Long, String)].collect().toMap
+    assert(out(7L) == "para 7 one\n\npara 7 two",
+      s"blank separator must survive, got '${out(7L)}'")
+  }
+
+  test("minhash hybrid boundary: straddling pairs above threshold still collide (t > 2/3)") {
+    // At k=64, t=0.7 the old k/8 cutoff (classic for s<8) silently lost
+    // pairs like 7-vs-8 shingles (J up to 7/8 > t) across the path
+    // boundary. With the threshold-derived cutoff (classic for s<=2),
+    // both docs take the OPH path and the pair must be found.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // 7 shingles at w=3
+    val b = a + " w10" // 8 shingles, superset: J = 7/8 = 0.875
+    val docs = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val pairs = Dedup.minHashPairs(docs, "id", "text", 64, 16, 3, 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)), s"straddling near-dup pair lost: ${pairs.toSeq}")
+    // and a straddling pair that the boundary CAN hide is provably below
+    // threshold: s_a=2, s_b=3 has J <= 2/3 < 0.7 — absence is correct
+    val tiny = Seq((1L, "t1 t2 t3 t4"), (2L, "t1 t2 t3 t4 t5")).toDF("id", "text")
+    val est = Dedup.minHashPairs(tiny, "id", "text", 64, 16, 3, 0.25)
+      .select($"est_jaccard").as[Double].collect()
+    est.foreach(e => assert(e < 0.95, s"classic sparse path must not collapse subset pair, est=$e"))
+  }
 }
