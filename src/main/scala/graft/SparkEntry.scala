@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
 import graft.pipeline.SketchPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -623,6 +623,33 @@ object SparkEntry {
       }
     }),
 
+    // --- real compressed-image decode (JDK javax.imageio, zero new deps):
+    // PNG rows must round-trip to the EXACT original pixels, JPEG rows
+    // must decode with exact dimensions, magic-corrupted rows must fail
+    // cleanly, and resize must run on compressed inputs ---
+    "q39_imageio_decode" -> ((s, _) => {
+      import s.implicits._
+      val n = 240L
+      val media = Multimodal.syntheticCompressedMedia(s, n, 8)
+      val per = media.map { m =>
+        val dec = MediaCodecs.decodeImage(m.media)
+        val cls = (m.media_id % 4).toInt
+        val dimsOk = dec.exists(d => d.width == m.width && d.height == m.height)
+        val exact = dimsOk && dec.exists(d => java.util.Arrays.equals(
+          d.rgb, Multimodal.patternRgb(42L ^ m.media_id, m.width, m.height)))
+        (cls, dec.isDefined, dimsOk, exact)
+      }.toDF("cls", "ok", "dims_ok", "exact")
+      val resized = Multimodal.resizeImages(
+        media.filter(col("media_id") % 4 < 2), 8, 8)
+        .filter(col("resized")).count
+      per.agg(
+        count(when(col("cls") === 0 && col("exact"), 1)).as("png_exact"),
+        count(when(col("cls") === 1 && col("dims_ok"), 1)).as("jpeg_ok"),
+        count(when(col("cls") === 2 && col("exact"), 1)).as("ppm_exact"),
+        count(when(col("cls") === 3 && !col("ok"), 1)).as("corrupt_failed"))
+        .withColumn("resized", lit(resized))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -917,6 +944,14 @@ object SparkEntry {
         | CAST(200 AS BIGINT) AS decoded,
         | CAST(sum(CASE WHEN i % 3 = 2 THEN least((1000 + i % 60000) // 500, 64) ELSE 0 END) AS BIGINT) AS frames
         |FROM range(200) t(i)""".stripMargin,
+
+    "q39_imageio_decode" ->
+      """SELECT CAST(count(*) FILTER (WHERE i % 4 = 0) AS BIGINT) AS png_exact,
+        | CAST(count(*) FILTER (WHERE i % 4 = 1) AS BIGINT) AS jpeg_ok,
+        | CAST(count(*) FILTER (WHERE i % 4 = 2) AS BIGINT) AS ppm_exact,
+        | CAST(count(*) FILTER (WHERE i % 4 = 3) AS BIGINT) AS corrupt_failed,
+        | CAST(count(*) FILTER (WHERE i % 4 < 2) AS BIGINT) AS resized
+        |FROM range(240) t(i)""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -3,22 +3,34 @@ package graft.ops
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM codecs for the multimodal pipeline: real parsers for simple
-  * standard formats, zero external dependencies.
+/** Pure-JVM codecs for the multimodal pipeline: real parsers/decoders for
+  * the formats the JDK can handle with zero external dependencies.
   *
-  *  - image: binary PPM (P6) — `"P6\n{w} {h}\n255\n"` + w·h·3 RGB bytes;
+  *  - image: compressed JPEG / PNG / GIF / BMP via the JDK's own
+  *    `javax.imageio` ([[decodeImageIO]] — the readers ship in
+  *    `java.desktop`, no codec jars), plus binary PPM (P6) —
+  *    `"P6\n{w} {h}\n255\n"` + w·h·3 RGB bytes — as the uncompressed
+  *    interchange format; [[decodeImage]] dispatches on the magic bytes.
+  *    Real web crawls are overwhelmingly JPEG/PNG, so this is the path a
+  *    real corpus takes;
   *  - audio: canonical WAV, PCM16 mono little-endian (44-byte RIFF
   *    header + samples);
   *  - video: a GVID container — MJPEG-style motion format of raw P6
   *    frames: `"GVID" | frameCount:int32 LE | frames...`, each frame a
-  *    length-prefixed P6 image. Compressed codecs (H.264 etc.) remain
-  *    out of scope in this container (no codec libs); the container
-  *    parsing, frame indexing and per-frame decode below are real.
+  *    length-prefixed P6 image. Compressed video codecs (H.264 etc.)
+  *    remain out of scope (the JDK ships no video decoder); the
+  *    container parsing, frame indexing and per-frame decode are real.
   *
   * Every parse failure returns None (malformed media rows surface as
   * `decode_ok = false`, never an exception inside a task).
   */
 object MediaCodecs {
+
+  // Executors are headless JVMs; ImageIO must never try to touch a
+  // display, and its default per-stream disk cache would add a temp-file
+  // round-trip to every decoded row.
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
@@ -64,6 +76,87 @@ object MediaCodecs {
       } else None
     } catch { case _: NumberFormatException => None }
   }
+
+  // ---------------- compressed images (JDK javax.imageio) ----------------
+
+  /** Decode JPEG/PNG/GIF/BMP bytes with the JDK's built-in readers to the
+    * library's packed-RGB [[Image]]. Any color model (palette, grayscale,
+    * ARGB) is converted through the image's own `getRGB` color space;
+    * alpha is composited over black. Same dimension sanity bound as the
+    * PPM parser; any reader failure (no reader claims the magic bytes,
+    * truncated stream, corrupt entropy data) returns None.
+    */
+  def decodeImageIO(bytes: Array[Byte]): Option[Image] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) None
+        else {
+          val rgb = new Array[Byte](w * h * 3)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val d = (y * w + x) * 3
+              rgb(d) = ((p >> 16) & 0xff).toByte
+              rgb(d + 1) = ((p >> 8) & 0xff).toByte
+              rgb(d + 2) = (p & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(Image(w, h, rgb))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Image decode dispatch by magic bytes: P6 → the PPM parser,
+    * everything else → [[decodeImageIO]] (whose reader registry itself
+    * dispatches JPEG/PNG/GIF/BMP on their magics).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Image] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else decodeImageIO(bytes)
+
+  private def toBufferedImage(width: Int, height: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        row(x) = ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff)
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImageIO(width: Int, height: Int, rgb: Array[Byte], format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(toBufferedImage(width, height, rgb), format, out)
+    require(ok, s"no JDK ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Lossless PNG encode (JDK writer): decode gives back the exact pixels. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeImageIO(width, height, rgb, "png")
+
+  /** Lossy JPEG encode (JDK writer, default quality). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeImageIO(width, height, rgb, "jpg")
 
   // ---------------- WAV (PCM16 mono LE) ----------------
 

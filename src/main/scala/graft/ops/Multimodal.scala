@@ -24,16 +24,18 @@ case class MediaFeatures(
 
 /** Multimodal (image/audio/video) processing over binary media columns.
   *
-  * The decode path is REAL for the formats a JVM can parse without codec
-  * libraries (see [[MediaCodecs]]): P6 PPM images, PCM16-mono WAV audio,
-  * and a GVID raw-frame motion container for video — header parsing,
-  * per-frame seeking, and feature math (channel means, luma std,
-  * thumbnails, RMS/zero-crossing/energy bins) all run on the decoded
-  * pixels/samples. Compressed codecs (JPEG/H.264/Opus…) are the one seam
-  * left open — this container has no codec libs — and they would slot
-  * into the same per-partition decode loop without touching any Spark
-  * plumbing. Malformed media surfaces as `decode_ok = false`, never a
-  * task failure.
+  * The decode path is REAL for the formats a JVM can parse without
+  * external codec libraries (see [[MediaCodecs]]): compressed JPEG / PNG
+  * / GIF / BMP images via the JDK's own `javax.imageio` (the formats a
+  * real web crawl is actually made of), P6 PPM images, PCM16-mono WAV
+  * audio, and a GVID raw-frame motion container for video — header
+  * parsing, per-frame seeking, and feature math (channel means, luma
+  * std, thumbnails, RMS/zero-crossing/energy bins) all run on the
+  * decoded pixels/samples. Compressed VIDEO codecs (H.264…) and
+  * compressed audio (Opus/MP3) are the remaining seam — the JDK ships no
+  * decoder for them — and they would slot into the same per-partition
+  * decode loop without touching any Spark plumbing. Malformed media
+  * surfaces as `decode_ok = false`, never a task failure.
   *
   * Scale shape: `mapPartitions` batch iteration (the same batch shape
   * `mapInPandas` gives a Python UDF) so a heavy decoder amortizes its
@@ -49,7 +51,7 @@ object Multimodal {
     */
   def decode(mediaType: String, media: Array[Byte], dim: Int): Option[Array[Float]] =
     mediaType match {
-      case "image" => MediaCodecs.decodePpm(media).map(MediaCodecs.imageFeatures(_, dim))
+      case "image" => MediaCodecs.decodeImage(media).map(MediaCodecs.imageFeatures(_, dim))
       case "audio" => MediaCodecs.decodeWav(media).map { case (_, s) => MediaCodecs.audioFeatures(s, dim) }
       case "video" =>
         // video-level features = first frame's image features + frame count
@@ -92,7 +94,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         if (m.media_type != "image") (m.media_id, m.media_type, m.media, m.width, m.height, false)
-        else MediaCodecs.decodePpm(m.media) match {
+        else MediaCodecs.decodeImage(m.media) match {
           case Some(img) =>
             val r = MediaCodecs.resize(img, w, h)
             (m.media_id, m.media_type, MediaCodecs.encodePpm(r.width, r.height, r.rgb), w, h, true)
@@ -163,6 +165,57 @@ object Multimodal {
             MediaCodecs.encodePpm(16, 12, rgb(i * 1000 + f, 16, 12))))
       }
       MediaRow(i, kind, bytes, w, h, durationMs)
+    }
+  }
+
+  /** Deterministic smooth RGB gradient pattern. Smooth (unlike the noise
+    * pattern above) so JPEG's DCT quantization reconstructs it closely —
+    * the right content for exercising a lossy codec.
+    */
+  def patternRgb(key: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    val phase = (Fnv.splitmix64(key) & 0xff).toInt
+    // triangle wave: ramps 0..255..0 with no 255→0 cliff (a sawtooth's
+    // wrap edge would put DCT ringing into a lossy codec's output)
+    def tri(t: Int): Byte = { val m = t & 0x1ff; (if (m < 256) m else 511 - m).toByte }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        px(d) = tri(x * 3 + y * 2 + phase)
+        px(d + 1) = tri(x * 2 + y * 3 + phase * 2)
+        px(d + 2) = tri(x + y + phase * 3)
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Deterministic synthetic table of REAL compressed images: rows cycle
+    * PNG → JPEG → PPM → corrupt (a PNG with its magic byte zeroed, which
+    * no `ImageIO` reader claims). Every PNG/JPEG row holds genuine
+    * JDK-encoded compressed bytes, so decoding them downstream exercises
+    * the real `javax.imageio` entropy decode, not a pass-through.
+    */
+  def syntheticCompressedMedia(spark: SparkSession, n: Long, partitions: Int,
+                               seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val w = 16 + (i % 5).toInt * 8
+      val h = 12 + (i % 4).toInt * 8
+      val rgb = patternRgb(seed ^ i, w, h)
+      val bytes = (i % 4) match {
+        case 0 => MediaCodecs.encodePng(w, h, rgb)
+        case 1 => MediaCodecs.encodeJpeg(w, h, rgb)
+        case 2 => MediaCodecs.encodePpm(w, h, rgb)
+        case _ =>
+          val b = MediaCodecs.encodePng(w, h, rgb)
+          b(0) = 0 // break the \x89PNG magic: no reader claims it
+          b
+      }
+      MediaRow(i, "image", bytes, w, h, 0L)
     }
   }
 }

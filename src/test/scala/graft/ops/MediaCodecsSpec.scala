@@ -106,6 +106,72 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(img.width == 8 && img.height == 8)
   }
 
+  test("ImageIO: PNG/BMP/GIF round-trip exact pixels; JPEG decodes close; corrupt bytes return None") {
+    val w = 24; val h = 16
+    val rgb = Multimodal.patternRgb(7L, w, h)
+
+    // PNG is lossless: decode must reproduce the EXACT pixels
+    val png = MediaCodecs.encodePng(w, h, rgb)
+    assert(png.length >= 8 && (png(0) & 0xff) == 0x89 && png(1) == 'P') // real PNG magic
+    val backPng = MediaCodecs.decodeImage(png).get
+    assert(backPng.width == w && backPng.height == h)
+    assert(backPng.rgb.toSeq == rgb.toSeq)
+
+    // BMP + GIF via the same JDK writer registry: decode through decodeImage
+    for (fmt <- Seq("bmp", "gif")) {
+      val out = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+      }
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      val back = MediaCodecs.decodeImage(out.toByteArray)
+      assert(back.isDefined, fmt)
+      assert(back.get.width == w && back.get.height == h, fmt)
+      // BMP is lossless; GIF palettizes — our gradient may exceed 256 colors,
+      // so only assert exactness for BMP
+      if (fmt == "bmp") assert(back.get.rgb.toSeq == rgb.toSeq)
+    }
+
+    // JPEG is lossy: dims exact, pixels close on smooth content
+    val jpg = MediaCodecs.encodeJpeg(w, h, rgb)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // SOI marker
+    val backJpg = MediaCodecs.decodeImage(jpg).get
+    assert(backJpg.width == w && backJpg.height == h)
+    val meanAbsErr = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - (backJpg.rgb(i) & 0xff))).sum.toDouble / rgb.length
+    assert(meanAbsErr < 8.0, s"JPEG mean abs err $meanAbsErr")
+
+    // corrupt / truncated / foreign bytes: None, never a throw
+    val brokenMagic = png.clone(); brokenMagic(0) = 0
+    assert(MediaCodecs.decodeImage(brokenMagic).isEmpty)
+    assert(MediaCodecs.decodeImage(png.take(20)).isEmpty) // truncated before IDAT
+    assert(MediaCodecs.decodeImage(Array[Byte]()).isEmpty)
+    val noise = Array.tabulate[Byte](512)(i => (i * 37 + 11).toByte)
+    assert(MediaCodecs.decodeImage(noise).isEmpty)
+    // deterministic corrupt-header fuzz over the JPEG: flip each of the
+    // first 24 header bytes; decode must return an Option, never throw
+    for (i <- 0 until math.min(24, jpg.length)) {
+      val mut = jpg.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      MediaCodecs.decodeImage(mut) // no assertion on value — no-throw contract
+    }
+  }
+
+  test("extractFeatures and resize run on real compressed PNG/JPEG rows") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.syntheticCompressedMedia(spark, 40, 4)
+    val feats = Multimodal.extractFeatures(media, 16).collect()
+    val byCls = feats.groupBy(f => (f.media_id % 4).toInt)
+    assert(byCls(0).forall(_.decode_ok), "png")
+    assert(byCls(1).forall(_.decode_ok), "jpeg")
+    assert(byCls(2).forall(_.decode_ok), "ppm")
+    assert(byCls(3).forall(!_.decode_ok), "corrupt")
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    assert(resized.filter(col("media_id") % 4 < 3 && !col("resized")).count() == 0)
+    assert(resized.filter(col("media_id") % 4 === 3 && col("resized")).count() == 0)
+  }
+
   test("extractFeatures marks malformed media decode_ok=false without failing the task") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
