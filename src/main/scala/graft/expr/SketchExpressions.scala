@@ -80,13 +80,43 @@ private[graft] trait BloomBinaryKeyProbe extends BinaryExpression with GraftType
 /** `bloom_might_contain(blob, key)` — AND over k bit probes with early exit
   * (semantics `bloom.c:186-202`). Zero false negatives; FP rate bounded by
   * the filter's configured p.
+  *
+  * `saturationThreshold < 1.0` arms a fill-ratio guard for the
+  * runtime-filter use ([[graft.plans.RuntimeBloomJoin]]): a filter built
+  * with far more keys than its capacity saturates (bits_set/m → 1, FPR →
+  * 1) and probing it is pure per-row overhead. With the guard armed, the
+  * first probe of each blob checks the fill ratio once (memoized per
+  * task) and, above the threshold, the expression returns `true` for
+  * every key — semantically identical (a pass-through filter), skipping
+  * the k hash probes. Never armed on the user-facing SQL function, whose
+  * reference semantics must probe exactly.
   */
-case class BloomMightContain(left: Expression, right: Expression) extends BloomBinaryKeyProbe {
+case class BloomMightContain(left: Expression, right: Expression,
+                             saturationThreshold: Double = 1.0) extends BloomBinaryKeyProbe {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
-  def probe(blob: Array[Byte], key: UTF8String): Boolean = sketchOf(blob).contains(key.getBytes)
-  def probe(blob: Array[Byte], key: Array[Byte]): Boolean = sketchOf(blob).contains(key)
-  override def nullSafeEval(blob: Any, key: Any): Any = sketchOf(blob).contains(keyOf(key))
+  // per-task memoized saturation verdict, keyed by blob identity (the
+  // runtime-filter blob is one scalar-subquery result per plan)
+  @transient private var satBlobRef: Array[Byte] = _
+  @transient private var satVerdict: Boolean = false
+  private def saturated(blob: Array[Byte]): Boolean = {
+    if (!(satBlobRef eq blob)) {
+      val s = sketchOf(blob)
+      satVerdict = s.countSetBits.toDouble / s.numberBits.toDouble > saturationThreshold
+      satBlobRef = blob
+      if (satVerdict) {
+        BloomMightContain.saturationEngaged.incrementAndGet()
+        BloomMightContain.warnOnce(s.numberBits)
+      }
+    }
+    satVerdict
+  }
+  private def guarded(blob: Array[Byte], key: Array[Byte]): Boolean =
+    (saturationThreshold < 1.0 && saturated(blob)) || sketchOf(blob).contains(key)
+  def probe(blob: Array[Byte], key: UTF8String): Boolean = guarded(blob, key.getBytes)
+  def probe(blob: Array[Byte], key: Array[Byte]): Boolean = guarded(blob, key)
+  override def nullSafeEval(blob: Any, key: Any): Any =
+    guarded(blob.asInstanceOf[Array[Byte]], keyOf(key))
   // real codegen (overrides the trait's CodegenFallback): the probe is the
   // per-row hot path of the Bloom-semi-join pattern, so keep the
   // surrounding filter/scan stage unboxed; the blob deserialization stays
@@ -96,6 +126,20 @@ case class BloomMightContain(left: Expression, right: Expression) extends BloomB
     nullSafeCodeGen(ctx, ev, (blob, key) => s"${ev.value} = $self.probe($blob, $key);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain = copy(l, r)
+}
+
+object BloomMightContain {
+  /** Observability for the saturation guard (tests + local-mode ops):
+    * bumped once per (task, blob) when the guard disables probing.
+    */
+  private[graft] val saturationEngaged = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var warned = false
+  private def warnOnce(m: Long): Unit = if (!warned) {
+    warned = true
+    System.err.println(s"[graft] runtime Bloom filter (m=$m bits) is saturated; " +
+      "probe disabled for this blob — size spark.graft.runtimeBloomJoin.estimatedKeys " +
+      "to the build side's distinct keys (or provide table stats)")
+  }
 }
 
 /** `sharded_bloom_probe(bucket, key)` over a REAL broadcast variable of

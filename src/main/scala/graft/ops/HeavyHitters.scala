@@ -36,6 +36,20 @@ object HeavyHitters {
   def exact(df: DataFrame, keyCol: String, phi: Double,
             eps: Double = 1e-4, delta: Double = 0.01): DataFrame = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    // The input is scanned TWICE (CMS build, then the filtered exact
+    // count). A nondeterministic source (rand()-derived key, unseeded
+    // sample) would give the sketch a DIFFERENT row set than the count
+    // sees, voiding the one-sided superset guarantee — refuse outright,
+    // same policy as graft.plans.RuntimeBloomJoin's build side.
+    // (optimizedPlan, not analyzed: a cached input shows up here as an
+    // InMemoryRelation leaf — the documented remedy — while the analyzed
+    // plan would still carry the original rand() and refuse it)
+    require(df.queryExecution.optimizedPlan
+        .find(n => n.expressions.exists(!_.deterministic)).isEmpty,
+      "HeavyHitters.exact requires a deterministic input: the plan is " +
+        "executed twice (CMS build + exact count) and a nondeterministic " +
+        "source voids the candidate-superset guarantee. Materialize the " +
+        "input (cache/checkpoint/write) first.")
     val key = col(keyCol)
     val blob = df.agg(cms_sketch(key, eps, delta)).head.getAs[Array[Byte]](0)
     val n = CmsSketch.deserialize(blob).totalCount

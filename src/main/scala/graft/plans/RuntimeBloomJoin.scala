@@ -51,6 +51,7 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private def minSizeRatio = flag("minSizeRatio", "3").toDouble
   private def estimatedKeys = flag("estimatedKeys", "1000000").toLong
   private def fpp = flag("fpp", "0.01").toFloat
+  private def saturationThreshold = flag("saturationThreshold", "0.7").toDouble
 
   // key types whose string form is injective on equal values (safe to
   // bloom on CAST(key AS STRING) for keys the analyzer already coerced
@@ -89,7 +90,7 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private def alreadyInjected(left: LogicalPlan, lk: Expression): Boolean = {
     val expectedKey = Cast(lk, StringType)
     def isOurProbe(c: Expression): Boolean = c.exists {
-      case BloomMightContain(s: ScalarSubquery, probeKey) => (s.plan match {
+      case BloomMightContain(s: ScalarSubquery, probeKey, _) => (s.plan match {
         case agg: Aggregate => agg.aggregateExpressions.exists {
           case a: Alias => a.name == RuntimeBloomJoin.MarkerAlias
           case _ => false
@@ -126,13 +127,27 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           if (jt == Inner || jt == LeftSemi) && eligible(left, right) =>
         findEquiKey(cond, left, right) match {
           case Some((lk, rk)) if !alreadyInjected(left, lk) =>
-            val n = right.stats.rowCount.map(_.toLong.max(1024L)).getOrElse(estimatedKeys)
+            // Capacity, best stat first: the key's distinct count (what a
+            // Bloom filter actually holds) > build row count > the
+            // configured fallback. Undersizing is no longer silent either
+            // way — the probe's fill-ratio guard disables a saturated
+            // filter at runtime instead of paying FPR→1 probe overhead.
+            val distinctKeys = rk match {
+              case a: Attribute =>
+                right.stats.attributeStats.collectFirst {
+                  case (attr, s) if attr.semanticEquals(a) => s.distinctCount
+                }.flatten.map(_.toLong)
+              case _ => None
+            }
+            val n = distinctKeys.orElse(right.stats.rowCount.map(_.toLong))
+              .map(_.max(1024L)).getOrElse(estimatedKeys)
             val buildKey = Cast(rk, StringType)
             val agg = Aggregate(Nil,
               Seq(Alias(BloomSketchAgg(buildKey, n, fpp).toAggregateExpression(),
                 RuntimeBloomJoin.MarkerAlias)()),
               right)
-            val probe = BloomMightContain(ScalarSubquery(agg), Cast(lk, StringType))
+            val probe = BloomMightContain(ScalarSubquery(agg), Cast(lk, StringType),
+              saturationThreshold)
             j.copy(left = Filter(probe, left))
           case _ => j // no usable equi-key, or this key already filtered
         }

@@ -31,4 +31,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     val df = (0 until 5000).map(i => s"k${i % 1000}").toDF("key")
     assert(HeavyHitters.exact(df, "key", 0.01, 1e-3, 0.01).count() == 0)
   }
+
+  test("nondeterministic input is refused (double-scan superset guarantee)") {
+    // rand()-derived key: the CMS build and the exact count would see
+    // DIFFERENT row sets — the operator must refuse, not silently lie.
+    // Range base: a LocalRelation would eagerly collapse the projection.
+    val nd = spark.range(1000).select(concat(lit("k"), (rand(7) * 10).cast("int")).as("key"))
+    val ex = intercept[IllegalArgumentException] {
+      HeavyHitters.exact(nd, "key", 0.05)
+    }
+    assert(ex.getMessage.contains("deterministic"))
+    // the documented remedy — materialize first — is accepted (a FRESH
+    // derivation: nd's own memoized queryExecution predates the cache)
+    val mat = nd.cache()
+    try {
+      mat.count() // pin the row set
+      assert(HeavyHitters.exact(mat.select($"key"), "key", 0.01).count() >= 1)
+    } finally mat.unpersist()
+  }
 }

@@ -123,6 +123,56 @@ class RuntimeBloomJoinSpec extends AnyFunSuite {
     assert(d.serializedSize == d.serialize().length) // C format untouched
   }
 
+  test("saturation guard: overfull filter short-circuits to pass-through, exact results") {
+    import graft.expr.BloomMightContain
+    import org.apache.spark.sql.GraftSqlBridge
+    // a filter sized for 100 keys fed 20k: bits_set/m ≈ 1, FPR ≈ 1 —
+    // probing it is pure overhead with no pruning
+    val f = graft.core.BloomSketch.empty(100, 0.01f)
+    (0 until 20000).foreach(i => f.add(s"k$i"))
+    assert(f.countSetBits.toDouble / f.numberBits > 0.9, "test premise: saturated")
+    val blob = f.serialize()
+    val keys = spark.range(1000).select(concat(lit("absent-"), $"id").as("u"))
+    val before = BloomMightContain.saturationEngaged.get()
+    // guard armed (as the rule arms it): every row passes without probing
+    val armed = keys.filter(GraftSqlBridge.column(
+      BloomMightContain(GraftSqlBridge.expression(lit(blob)),
+        GraftSqlBridge.expression($"u"), 0.7)))
+    assert(armed.count() == 1000)
+    assert(BloomMightContain.saturationEngaged.get() > before,
+      "guard did not engage on a saturated blob")
+
+    // end-to-end through the rule with absent/undersized stats: capacity
+    // falls back to estimatedKeys=64, the build side has 20k distinct keys
+    // -> the injected filter saturates, the guard neutralizes it, and the
+    // join answer stays exact
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true",
+      "spark.graft.runtimeBloomJoin.estimatedKeys" -> "64",
+      "spark.graft.runtimeBloomJoin.maxBuildBytes" -> (256L << 20).toString,
+      "spark.graft.runtimeBloomJoin.minSizeRatio" -> "0") {
+      val bigProbe = (0 until 30000).map(i => (i.toLong, i)).toDF("k", "x")
+      val bigBuild = (0 until 20000).map(i => i.toLong).toDF("bk")
+      val df = bigProbe.join(bigBuild, $"k" === $"bk")
+      assert(optimizedString(df).contains("bloom_might_contain"))
+      assert(df.count() == 20000)
+    }
+  }
+
+  test("build-side distinct-count stats size the filter when available") {
+    // range gives the optimizer a rowCount; the capacity must then come
+    // from stats, not the (tiny) estimatedKeys fallback — so the filter
+    // is NOT saturated and really prunes
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true",
+      "spark.graft.runtimeBloomJoin.estimatedKeys" -> "64",
+      "spark.graft.runtimeBloomJoin.minSizeRatio" -> "0") {
+      val p = (0 until 30000).map(i => (i.toLong, i)).toDF("k", "x")
+      val b = spark.range(5000).select(($"id" * 2).as("bk"))
+      val df = p.join(b, $"k" === $"bk")
+      assert(optimizedString(df).contains("bloom_might_contain"))
+      assert(df.count() == 5000)
+    }
+  }
+
   test("rewritten join answers a string-key query identically (cast path)") {
     val p = (0 until 5000).map(i => (s"url-$i", i)).toDF("u", "x")
     val b = (0 until 100).map(i => s"url-${i * 31}").toDF("u")
