@@ -160,6 +160,10 @@ object Bench {
         try queries(name)(s32, sfDir).collect()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
+      // the dedup operators materialize signature tables (Store.Cache)
+      // inside their own timed window; drop them between queries so each
+      // headline is measured cold and blocks never accumulate
+      s32.catalog.clearCache()
       name -> t
     }
     s32.stop()

@@ -650,6 +650,66 @@ object SparkEntry {
         .withColumn("resized", lit(resized))
     }),
 
+    // --- HLL sparse wire format: per-ORDER sketches are thousands of
+    // tiny groups — the sparse encoding must kick in (every blob < 100 B
+    // vs 16 KB dense at p=14), estimates must stay within bound, and the
+    // shuffle that carries the partial blobs shrinks ~500x ---
+    "q40_hll_sparse_groups" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      // two aggregations + join: never mix a TypedImperativeAggregate
+      // with a distinct aggregate in one agg (buffer-per-distinct-key)
+      val sk = li.groupBy(col("l_orderkey"))
+        .agg(hll_sketch(col("l_partkey").cast("string"), 14).as("sk"))
+      val ex = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+      sk.join(ex, "l_orderkey")
+        .select(col("l_orderkey"),
+          hll_estimate(col("sk")).as("est"), col("exact"), length(col("sk")).as("blob"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          (sum(when(abs(col("est") - col("exact")).cast("double")
+            > lit(1.0) + lit(0.03) * col("exact").cast("double"), 1).otherwise(0)) === 0).as("all_ok"),
+          (max(col("blob")) < 100).as("blobs_tiny"))
+    }),
+
+    // --- IVF-PQ persisted index: train once, save (versioned model blob
+    // + parquet codes), then SERVE purely from the files — chunked ADC
+    // broadcasts (batch=3 forces many bounded broadcasts), exact refine,
+    // recall vs brute force; the reloaded model must be byte-identical ---
+    "q41_ivfpq_persist" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val sample = Similarity.trainingSample(
+        emb.select(col("vec_id").cast("long").as("_id"), col("embedding").as("_v")), 4096)
+      val model = graft.ops.IvfPq.train(sample, 8, 8, 16)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_q41").toString + "/index"
+      graft.ops.IvfPq.saveIndex(emb, "vec_id", "embedding", model, idxDir)
+      val modelOk = java.util.Arrays.equals(
+        graft.ops.IvfPq.serializeModel(graft.ops.IvfPq.loadModel(s, idxDir)),
+        graft.ops.IvfPq.serializeModel(model))
+      val served = graft.ops.IvfPq.searchIndex(s, idxDir, q, "vec_id", "embedding",
+        k = 80, nProbe = 4, maxQueriesPerBatch = 3)
+      val withVecs = served.select(col("query_id"), col("neighbor_id"))
+        .join(emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").as("cv")), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosineColumn(col("qv"), col("cv")).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val pq = withVecs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10).select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val total = brute.count
+      val hits = pq.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count
+      brute.unpersist()
+      Seq((q.count, 10, total, hits.toDouble / total >= 0.5, modelOk))
+        .toDF("queries", "k", "brute_pairs", "recall_ok", "model_roundtrip_ok")
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -952,6 +1012,17 @@ object SparkEntry {
         | CAST(count(*) FILTER (WHERE i % 4 = 3) AS BIGINT) AS corrupt_failed,
         | CAST(count(*) FILTER (WHERE i % 4 < 2) AS BIGINT) AS resized
         |FROM range(240) t(i)""".stripMargin,
+
+    "q40_hll_sparse_groups" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_groups,
+        | true AS all_ok, true AS blobs_tiny
+        |FROM lineitem""".stripMargin,
+
+    "q41_ivfpq_persist" ->
+      """SELECT CAST(count(*) AS BIGINT) AS queries, 10 AS k,
+        | CAST(count(*) * 10 AS BIGINT) AS brute_pairs,
+        | true AS recall_ok, true AS model_roundtrip_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

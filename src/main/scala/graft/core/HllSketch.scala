@@ -89,11 +89,45 @@ final class HllSketch private (
 
   def copy(): HllSketch = new HllSketch(precision, registers.clone())
 
+  /** Wire format, chosen per blob by content (deterministic, so the
+    * parallelism-invariance property — same registers ⇒ same bytes — is
+    * preserved):
+    *
+    *  - '''dense''' `[p:1B][m register bytes]` — the v1 format, emitted
+    *    whenever the sketch is reasonably full;
+    *  - '''sparse''' `[p|0x80:1B][count:int32][count × int32 (idx<<6|val)]`
+    *    — emitted when `4·nz + 4 < m` (nz = non-zero registers). A
+    *    per-group sketch over millions of small groups is almost all
+    *    zeros (16 KB of them at p=14); the partial-aggregate shuffle and
+    *    the stored per-group blobs shrink by up to ~1000× for tiny
+    *    groups. idx ≤ 2^18 and val ≤ 61 pack into one int32.
+    *
+    * The 0x80 bit on the leading precision byte is the format version
+    * marker (dense precisions are 4–18, so the bit is never ambiguous) —
+    * same discipline as the CMS format magic. In-memory stays dense
+    * always; sparse is purely a wire encoding, so merge/estimate logic is
+    * untouched and sparse/dense blobs interoperate transparently.
+    */
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(1 + registers.length).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(precision.toByte)
-    buf.put(registers)
-    buf.array()
+    var nz = 0
+    var i = 0
+    while (i < registers.length) { if (registers(i) != 0) nz += 1; i += 1 }
+    if (4 * nz + 4 < m) {
+      val buf = ByteBuffer.allocate(5 + 4 * nz).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put((precision | 0x80).toByte)
+      buf.putInt(nz)
+      i = 0
+      while (i < registers.length) {
+        if (registers(i) != 0) buf.putInt((i << 6) | registers(i))
+        i += 1
+      }
+      buf.array()
+    } else {
+      val buf = ByteBuffer.allocate(1 + registers.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(precision.toByte)
+      buf.put(registers)
+      buf.array()
+    }
   }
 
   override def toString: String = s"HllSketch(p=$precision,est=${estimateLong})"
@@ -135,8 +169,26 @@ object HllSketch {
   }
 
   def deserialize(bytes: Array[Byte]): HllSketch = {
-    val precision = bytes(0).toInt
-    require(bytes.length == 1 + (1 << precision), s"corrupt HLL blob: ${bytes.length}")
-    new HllSketch(precision, java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+    val b0 = bytes(0) & 0xff
+    if ((b0 & 0x80) != 0) {
+      // sparse: [p|0x80][count:int32][count × int32 (idx<<6|val)]
+      val precision = b0 & 0x7f
+      require(precision >= 4 && precision <= 18, s"corrupt sparse HLL blob: p=$precision")
+      val buf = ByteBuffer.wrap(bytes, 1, bytes.length - 1).order(ByteOrder.LITTLE_ENDIAN)
+      val n = buf.getInt
+      require(bytes.length == 5 + 4 * n, s"corrupt sparse HLL blob: ${bytes.length} for n=$n")
+      val registers = new Array[Byte](1 << precision)
+      var i = 0
+      while (i < n) {
+        val e = buf.getInt
+        registers(e >>> 6) = (e & 0x3f).toByte
+        i += 1
+      }
+      new HllSketch(precision, registers)
+    } else {
+      val precision = b0
+      require(bytes.length == 1 + (1 << precision), s"corrupt HLL blob: ${bytes.length}")
+      new HllSketch(precision, java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+    }
   }
 }

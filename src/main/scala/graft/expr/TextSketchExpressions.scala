@@ -162,6 +162,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
     Array.tabulate(numHashes)(i => Fnv.splitmix64(0x5EED0000L + 2L * i + 1L))
 
   def probe(v: UTF8String): ArrayData = {
+    if (MinHashSignature.countProbes) MinHashSignature.probeCount.incrementAndGet()
     val hs = TextShingles.shingleHashes(v.toString, shingleWidth)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (hs.length <= classicCutoff) {
@@ -217,6 +218,17 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleWidth: Int
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
   }
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+object MinHashSignature {
+  /** Test-only observability: when armed, every signature evaluation bumps
+    * the counter — [[graft.ops.Dedup]] specs use it to prove signature
+    * materialization kills the per-consumer lineage recompute (local mode
+    * shares one JVM). A volatile read per row when disarmed; never armed
+    * in production.
+    */
+  @volatile private[graft] var countProbes = false
+  private[graft] val probeCount = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** `simhash64(text)` → 64-bit simhash over whitespace tokens (Charikar

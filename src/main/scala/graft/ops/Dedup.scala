@@ -19,15 +19,43 @@ import org.apache.spark.sql.functions._
   *    table SEVERAL times (hot-bucket count, both sides of the banding
   *    join, and the two candidate-scoring re-joins — ~5 consumers; the
   *    embedding path similarly re-derives buckets/vectors per consumer).
-  *    Spark recomputes lineage per consumer, so at 100-TB scale
-  *    materialize the signature table once (parquet checkpoint —
-  *    `TableIO` layout — or `localCheckpoint`) and feed every consumer
-  *    from it, exactly like
-  *    [[graft.pipeline.SketchPipeline.buildCheckpointed]] does for
-  *    sketch partials. At test scale recomputation is cheaper than a
-  *    cache, so these operators leave persistence to the caller.
+  *    Spark recomputes lineage per consumer, so the operators materialize
+  *    the derived table ONCE by default ([[Dedup.Store.Cache]] — spill-
+  *    safe MEMORY_AND_DISK) and feed every consumer from it; pass
+  *    [[Dedup.Store.Parquet]] to checkpoint it durably (survives executor
+  *    loss, frees the block store — the 100-TB setting), or
+  *    [[Dedup.Store.Recompute]] to opt out where the input scan is
+  *    cheaper than the cache.
   */
 object Dedup {
+
+  /** How a dedup operator holds its derived per-doc table (signatures /
+    * fingerprints / vectors) across its multiple consumers.
+    */
+  sealed trait Store
+  object Store {
+    /** No materialization: each consumer recomputes the lineage. */
+    case object Recompute extends Store
+    /** `persist(MEMORY_AND_DISK)`: computed once, spills rather than
+      * evicts. Blocks live until session end or `clearCache()` — the
+      * right default up to what the cluster's block store holds.
+      */
+    case object Cache extends Store
+    /** Durable parquet checkpoint: written once, every consumer reads the
+      * files. Survives executor loss and frees the block store — use at
+      * corpus scale. The caller owns the directory's lifecycle.
+      */
+    final case class Parquet(dir: String) extends Store
+  }
+
+  private def materialize(df: DataFrame, store: Store): DataFrame = store match {
+    case Store.Recompute => df
+    case Store.Cache =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    case Store.Parquet(dir) =>
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+  }
 
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * content, with the kept (minimum) id and the duplicate count.
@@ -101,7 +129,8 @@ object Dedup {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                   threshold: Double = 0.7, maxBandFreq: Long = Long.MaxValue): DataFrame = {
+                   threshold: Double = 0.7, maxBandFreq: Long = Long.MaxValue,
+                   sigStore: Store = Store.Cache): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     // threshold-safe classic cutoff c: a straddling pair has J <= c/(c+1),
@@ -111,8 +140,12 @@ object Dedup {
         math.max(2, math.min((numHashes - 1) / 8,
           math.ceil(threshold / (1.0 - threshold)).toInt - 1))
       else (numHashes - 1) / 8
-    val sigs = df.select(col(idCol).as("id"),
-      minhash_signature(col(textCol), numHashes, shingleWidth, classicMax).as("sig"))
+    // materialized (Cache default): the table below feeds the hot-bucket
+    // count, both banding sides and the two scoring re-joins — ~5
+    // consumers, each of which would otherwise re-run the signature
+    // expression over the whole corpus
+    val sigs = materialize(df.select(col(idCol).as("id"),
+      minhash_signature(col(textCol), numHashes, shingleWidth, classicMax).as("sig")), sigStore)
     // one row per (doc, band), carrying ONLY (band, bucket, id): the
     // banding exchange must never ship the numHashes×8-byte signatures —
     // at 10^6 docs that alone is ~8 GB per join side vs ~0.4 GB of id
@@ -174,10 +207,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         width: Int = 16, step: Int = 4,
                         thresholdNum: Int = 1, thresholdDen: Int = 2,
-                        maxShingleFreq: Long = Long.MaxValue): DataFrame = {
-    val shAll = df.select(col(idCol).as("id"), col(textCol).as("t"))
+                        maxShingleFreq: Long = Long.MaxValue,
+                        shingleStore: Store = Store.Cache): DataFrame = {
+    // the (exploded) shingle table feeds the per-doc sizes and BOTH sides
+    // of the self-equi-join — materialized once by default
+    val shAll = materialize(df.select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(length(t) - ${width - 1}, 1), $step), p -> substring(t, p, $width))"))).as("sh"))
+        s"transform(sequence(1, greatest(length(t) - ${width - 1}, 1), $step), p -> substring(t, p, $width))"))).as("sh")),
+      shingleStore)
     // Scale guard: a shingle shared by F docs yields F^2/2 join rows — at
     // web scale boilerplate shingles (headers, templates) blow the
     // self-join up quadratically. maxShingleFreq drops shingles above the
@@ -221,8 +258,13 @@ object Dedup {
     */
   def nearDupPairsScaled(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                         threshold: Double = 0.7, maxBandFreq: Long = 1000L): DataFrame = {
-    val ids = df.select(col(idCol).as("id"), doc_fingerprint(col(textCol)).as("fp"))
+                         threshold: Double = 0.7, maxBandFreq: Long = 1000L,
+                         sigStore: Store = Store.Cache): DataFrame = {
+    // fingerprints feed the class grouping AND the star-edge join — one
+    // materialized scan instead of two corpus fingerprint passes
+    val ids = materialize(
+      df.select(col(idCol).as("id"), doc_fingerprint(col(textCol)).as("fp")),
+      sigStore match { case Store.Parquet(dir) => Store.Parquet(dir + "/fp"); case s => s })
     val keep = ids.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
     // star edges: every non-kept member pairs with its class keeper
     // (keeper is the min id, so keep_id < id always ⇒ ordered pairs)
@@ -233,7 +275,8 @@ object Dedup {
     // banding over one representative per distinct content only
     val reps = df.join(keep.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
     val nearEdges = minHashPairs(reps, idCol, textCol, numHashes, bands,
-        shingleWidth, threshold, maxBandFreq)
+        shingleWidth, threshold, maxBandFreq,
+        sigStore match { case Store.Parquet(dir) => Store.Parquet(dir + "/sig"); case s => s })
       .withColumn("kind", lit("near"))
     exactEdges.unionAll(nearEdges)
   }
@@ -285,8 +328,10 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, planes: Int = 8,
-                            seed: Long = 42L, maxBucketFreq: Long = Long.MaxValue): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+                            seed: Long = 42L, maxBucketFreq: Long = Long.MaxValue,
+                            vecStore: Store = Store.Cache): DataFrame = {
+    // vectors feed the bucketing AND both scoring re-joins (3 consumers)
+    val vecs = materialize(df.select(col(idCol).as("id"), col(vecCol).as("v")), vecStore)
     // bucket join on ids only (same discipline as minHashPairs: never
     // ship the vectors through the self-join exchange); vectors re-join
     // the candidate pairs for exact scoring

@@ -215,37 +215,117 @@ object IvfPq {
     withVecs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** ADC search over an already-encoded corpus: queries' ADC tables ride
-    * one broadcast; scoring is m byte-indexed lookups per candidate row.
+  /** ADC search over an already-encoded corpus: the queries' ADC tables
+    * ride broadcasts of BOUNDED size — the query set is chunked into
+    * `maxQueriesPerBatch` groups, each with its own broadcast of
+    * `batch × (m·ks·4B table + nProbe cell dots)` (~2 MB at the
+    * defaults), so a large query set costs a loop of small broadcasts
+    * instead of one unbounded multi-GB one. Scoring is m byte-indexed
+    * lookups per candidate row; per-batch top-k unions into the result
+    * (query ids never cross batches, so the union IS the global answer).
     */
   def searchEncoded(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                    model: Model, k: Int, nProbe: Int): DataFrame = {
+                    model: Model, k: Int, nProbe: Int,
+                    maxQueriesPerBatch: Int = 4096): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    require(maxQueriesPerBatch > 0, "maxQueriesPerBatch must be positive")
     // driver-side: per-query table + probed cells (+ per-cell coarse dot)
     val qRows = queries.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .as[(Long, Seq[Float])].collect()
-    val qInfo: Map[Long, (Array[Array[Float]], Map[Int, Float])] = qRows.map { case (qid, qv) =>
-      val qn = model.normalize(qv.toArray)
-      val cells = model.nearestCoarseN(qn, nProbe)
-      qid -> (model.adcTable(qn), cells.map(c => c -> model.coarseDot(qn, c)).toMap)
-    }.toMap
-    val bc = spark.sparkContext.broadcast(qInfo)
-    val probes = qRows.flatMap { case (qid, _) => bc.value(qid)._2.keys.map(c => (qid, c)) }
-      .toSeq.toDF("query_id", "cell")
-    val scored = encoded.join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"), col("cell"), col("code"))
-      .as[(Long, Long, Int, Array[Byte])]
-      .mapPartitions { it =>
-        val info = bc.value
-        it.map { case (qid, nid, cell, code) =>
-          val (table, cellDots) = info(qid)
-          (qid, nid, model.adcScore(table, cellDots(cell), code).toDouble)
-        }
-      }.toDF("query_id", "neighbor_id", "adc_score")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val batches = qRows.grouped(maxQueriesPerBatch).map { batch =>
+      val qInfo: Map[Long, (Array[Array[Float]], Map[Int, Float])] = batch.map { case (qid, qv) =>
+        val qn = model.normalize(qv.toArray)
+        val cells = model.nearestCoarseN(qn, nProbe)
+        qid -> (model.adcTable(qn), cells.map(c => c -> model.coarseDot(qn, c)).toMap)
+      }.toMap
+      val bc = spark.sparkContext.broadcast(qInfo)
+      val probes = batch.flatMap { case (qid, _) => bc.value(qid)._2.keys.map(c => (qid, c)) }
+        .toSeq.toDF("query_id", "cell")
+      val scored = encoded.join(broadcast(probes), Seq("cell"))
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("code"))
+        .as[(Long, Long, Int, Array[Byte])]
+        .mapPartitions { it =>
+          val info = bc.value
+          it.map { case (qid, nid, cell, code) =>
+            val (table, cellDots) = info(qid)
+            (qid, nid, model.adcScore(table, cellDots(cell), code).toDouble)
+          }
+        }.toDF("query_id", "neighbor_id", "adc_score")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy(col("query_id")).orderBy(col("adc_score").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }.toSeq
+    batches.reduce(_ unionAll _)
+  }
+
+  // ---------------- persistence (train once, serve many) ----------------
+
+  /** Version magic of the model wire format ("GPQ1"). */
+  final val ModelMagic = 0x47505131
+
+  /** `magic | dim | m | ks | nCoarse | nCoarse×dim float32 | m×ks×subDim
+    * float32` (LE) — a pure function of the model, byte-stable across
+    * JVMs.
+    */
+  def serializeModel(model: Model): Array[Byte] = {
+    val subDim = model.subDim
+    val size = 20 + 4 * model.coarse.length * model.dim + 4 * model.m * model.ks * subDim
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(ModelMagic).putInt(model.dim).putInt(model.m).putInt(model.ks)
+    buf.putInt(model.coarse.length)
+    model.coarse.foreach(c => c.foreach(buf.putFloat))
+    model.codebooks.foreach(_.foreach(_.foreach(buf.putFloat)))
+    buf.array()
+  }
+
+  def deserializeModel(bytes: Array[Byte]): Model = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt == ModelMagic, "not a graft IVF-PQ model blob")
+    val dim = buf.getInt; val m = buf.getInt; val ks = buf.getInt
+    val nCoarse = buf.getInt
+    val subDim = dim / m
+    val coarse = Array.fill(nCoarse)(Array.fill(dim)(buf.getFloat))
+    val codebooks = Array.fill(m)(Array.fill(ks)(Array.fill(subDim)(buf.getFloat)))
+    Model(coarse, codebooks, m, ks, dim)
+  }
+
+  /** Persist a trained index: `dir/model.bin` (versioned binary via the
+    * Hadoop FS API — local/HDFS/object-store alike) + `dir/codes`
+    * (parquet of (neighbor_id, cell, code) — id + cell + m bytes per
+    * vector, the compressed residency table). Train once, serve many.
+    */
+  def saveIndex(corpus: DataFrame, idCol: String, vecCol: String, model: Model, dir: String): Unit = {
+    encode(corpus, idCol, vecCol, model).write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = corpus.sparkSession
+    val path = new org.apache.hadoop.fs.Path(s"$dir/model.bin")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(serializeModel(model)) finally out.close()
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/model.bin")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(0, bytes)
+      deserializeModel(bytes)
+    } finally in.close()
+  }
+
+  /** ANN top-k purely from a persisted index — the serving path: no
+    * training, no full vectors except the query side (and optionally the
+    * refine join the CALLER adds if exact re-ranking is wanted).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                  maxQueriesPerBatch: Int = 4096): DataFrame = {
+    val model = loadModel(spark, dir)
+    val encoded = spark.read.parquet(s"$dir/codes")
+    searchEncoded(encoded, queries, idCol, vecCol, model, k, nProbe, maxQueriesPerBatch)
   }
 }

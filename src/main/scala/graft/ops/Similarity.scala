@@ -140,7 +140,7 @@ object Similarity {
     * shuffle/partially-sort the WHOLE corpus to pick 4096 rows — a scale
     * killer at 10^11 vectors.) Expects columns (_id: long, _v: seq float).
     */
-  private[ops] def trainingSample(df: DataFrame, sampleSize: Int): Array[Array[Float]] = {
+  private[graft] def trainingSample(df: DataFrame, sampleSize: Int): Array[Array[Float]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val total = df.count()

@@ -114,6 +114,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.precision == 11 && r.registers.toSeq == h.registers.toSeq)
   }
 
+  test("hll sparse wire format: tiny groups shrink ~1000x, round-trip exact, mixed merge bitwise-invariant") {
+    // 3 elements at p=14: dense would be 16385 bytes of mostly zeros
+    val tiny = HllSketch.empty(14)
+    Seq("a", "b", "c").foreach(tiny.add)
+    val blob = tiny.serialize()
+    assert((blob(0) & 0x80) != 0, "tiny sketch must pick the sparse encoding")
+    assert(blob.length < (1 + (1 << 14)) / 100,
+      s"sparse blob ${blob.length}B should be <1% of dense ${1 + (1 << 14)}B")
+    val rt = HllSketch.deserialize(blob)
+    assert(rt.precision == 14 && rt.registers.toSeq == tiny.registers.toSeq)
+    assert(rt.estimateLong == tiny.estimateLong)
+
+    // a full sketch stays dense (v1 bytes unchanged)
+    val full = HllSketch.empty(8)
+    (0 until 5000).foreach(i => full.add(s"k$i"))
+    val denseBlob = full.serialize()
+    assert((denseBlob(0) & 0x80) == 0 && denseBlob.length == 1 + (1 << 8))
+
+    // transparent promotion: the same sketch's encoding flips dense as it
+    // fills, and every intermediate round-trips exactly
+    val grow = HllSketch.empty(10)
+    var sawSparse = false; var sawDense = false
+    (0 until 2000).foreach { i =>
+      grow.add(s"g$i")
+      if (i % 200 == 0) {
+        val b = grow.serialize()
+        if ((b(0) & 0x80) != 0) sawSparse = true else sawDense = true
+        assert(HllSketch.deserialize(b).registers.toSeq == grow.registers.toSeq)
+      }
+    }
+    assert(sawSparse && sawDense, "growth must cross the sparse->dense boundary")
+
+    // sparse/dense interop: merging a sparse-round-tripped partial into a
+    // dense one equals the serial build bit-for-bit
+    val serial = HllSketch.empty(12)
+    (0 until 10000).foreach(i => serial.add(s"m$i"))
+    val big = HllSketch.empty(12)
+    (0 until 9990).foreach(i => big.add(s"m$i"))
+    val small = HllSketch.empty(12)
+    (9990 until 10000).foreach(i => small.add(s"m$i"))
+    val smallRt = HllSketch.deserialize(small.serialize()) // sparse wire hop
+    assert((small.serialize()(0) & 0x80) != 0)
+    val merged = HllSketch.deserialize(big.serialize()).mergeInPlace(smallRt)
+    assert(merged.registers.toSeq == serial.registers.toSeq)
+    assert(merged.serialize().toSeq == serial.serialize().toSeq)
+  }
+
   // ---------------- CMS ----------------
 
   test("cms: never underestimates; within eps*N with prob 1-delta") {

@@ -63,6 +63,41 @@ class DedupCapSpec extends AnyFunSuite {
     assert(pairs.count() == 1, "near-dup pair must survive the cap")
   }
 
+  test("signature materialization: minhash evaluates ONCE per doc (default Cache), parquet store too, recompute amplifies") {
+    import graft.expr.MinHashSignature
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"document body number $i sharing words alpha beta gamma delta epsilon ${i % 7}")).toDF("id", "text")
+    MinHashSignature.countProbes = true
+    try {
+      // default (Cache): one signature eval per doc across all ~5 consumers
+      spark.catalog.clearCache()
+      MinHashSignature.probeCount.set(0)
+      Dedup.minHashPairs(docs, "id", "text", maxBandFreq = 50L).collect()
+      val cached = MinHashSignature.probeCount.get()
+      assert(cached == 200, s"expected one signature eval per doc with Store.Cache, got $cached")
+
+      // durable parquet store: also exactly once (consumers read the files)
+      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      spark.catalog.clearCache()
+      MinHashSignature.probeCount.set(0)
+      Dedup.minHashPairs(docs, "id", "text", maxBandFreq = 50L,
+        sigStore = Dedup.Store.Parquet(dir + "/sig")).collect()
+      val parq = MinHashSignature.probeCount.get()
+      assert(parq == 200, s"expected one signature eval per doc with Store.Parquet, got $parq")
+
+      // opt-out recomputes per consumer (the old behavior)
+      spark.catalog.clearCache()
+      MinHashSignature.probeCount.set(0)
+      Dedup.minHashPairs(docs, "id", "text", maxBandFreq = 50L,
+        sigStore = Dedup.Store.Recompute).collect()
+      val recomputed = MinHashSignature.probeCount.get()
+      assert(recomputed > 200, s"Recompute should amplify (>200), got $recomputed")
+    } finally {
+      MinHashSignature.countProbes = false
+      spark.catalog.clearCache()
+    }
+  }
+
   test("embedding near-dup bucket cap bounds the self-join") {
     val vecs = (0 until 50).map(i =>
         (i.toLong, Array.tabulate(8)(d => math.sin(i * (d + 1) + 0.5).toFloat))) ++

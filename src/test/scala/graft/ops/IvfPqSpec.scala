@@ -66,6 +66,47 @@ class IvfPqSpec extends AnyFunSuite {
     assert(perQ.getLong(0) == 5 && perQ.getLong(1) == 5)
   }
 
+  test("model serde: byte round-trip is exact; saveIndex/loadModel/searchIndex serve from disk") {
+    val sample = corpus.as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    val model = IvfPq.train(sample, 8, 4, 16)
+    // byte-level round trip
+    val rt = IvfPq.deserializeModel(IvfPq.serializeModel(model))
+    assert(rt.dim == model.dim && rt.m == model.m && rt.ks == model.ks)
+    assert(rt.coarse.map(_.toSeq).toSeq == model.coarse.map(_.toSeq).toSeq)
+    assert(rt.codebooks.map(_.map(_.toSeq).toSeq).toSeq == model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // serialization is byte-stable (pure function of the model)
+    assert(IvfPq.serializeModel(rt).toSeq == IvfPq.serializeModel(model).toSeq)
+    // corrupt magic refuses
+    val bad = IvfPq.serializeModel(model); bad(0) = (bad(0) ^ 0x55).toByte
+    intercept[IllegalArgumentException](IvfPq.deserializeModel(bad))
+
+    // full persisted-index serving path: fresh read of model + codes
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString + "/index"
+    IvfPq.saveIndex(corpus, "id", "v", model, dir)
+    val q = corpus.filter($"id" % 40 === 0)
+    val fromDisk = IvfPq.searchIndex(spark, dir, q, "id", "v", k = 20, nProbe = 8)
+    val inMemory = IvfPq.searchEncoded(IvfPq.encode(corpus, "id", "v", model),
+      q, "id", "v", model, k = 20, nProbe = 8)
+    // identical answers: the persisted index IS the in-memory one
+    assert(fromDisk.orderBy($"query_id", $"rank").collect().toSeq ==
+      inMemory.orderBy($"query_id", $"rank").collect().toSeq)
+  }
+
+  test("chunked ADC broadcasts: many queries in small batches == one batch, bit-identical") {
+    val sample = corpus.as[(Long, Seq[Float])].collect().map(_._2.toArray)
+    val model = IvfPq.train(sample, 8, 4, 16)
+    val encoded = IvfPq.encode(corpus, "id", "v", model).cache()
+    try {
+      val q = corpus.filter($"id" < 100) // 100 queries
+      val one = IvfPq.searchEncoded(encoded, q, "id", "v", model, k = 5, nProbe = 4,
+        maxQueriesPerBatch = Int.MaxValue)
+      val chunked = IvfPq.searchEncoded(encoded, q, "id", "v", model, k = 5, nProbe = 4,
+        maxQueriesPerBatch = 7) // 15 bounded broadcasts
+      assert(chunked.orderBy($"query_id", $"rank").collect().toSeq ==
+        one.orderBy($"query_id", $"rank").collect().toSeq)
+    } finally encoded.unpersist()
+  }
+
   test("searchEncoded on a persisted codes table (deployment shape)") {
     val sample = corpus.as[(Long, Seq[Float])].collect().map(_._2.toArray)
     val model = IvfPq.train(sample, 8, 4, 16)
