@@ -710,6 +710,39 @@ object SparkEntry {
         .toDF("queries", "k", "brute_pairs", "recall_ok", "model_roundtrip_ok")
     }),
 
+    // --- Misra-Gries single-pass heavy hitters (vs the CMS path q31,
+    // which needs a second scan for candidates): every key with frequency
+    // > n/(k+1) is guaranteed retained; estimates bracket the exact count
+    // from below by the summary's decrement total. The derived key is
+    // deliberately skewed (5 hot event types on 2/3 of rows, ~cold
+    // per-user keys on the rest) so compress() actually engages, and the
+    // emitted columns are merge-order-invariant: the bound booleans hold
+    // for ANY partial-aggregation order (PODS 2012), and the top-5 set
+    // equality holds because min(hot est) >= hot - n/(k+1) > max cold
+    // count at every SF of this generator ---
+    "q42_mg_heavyhitters" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(when(col("event_id") % 3 =!= 0, col("event_type"))
+          .otherwise(concat(lit("u"), col("user_id"))).as("key"))
+      val agg = ev.agg(mg_sketch(col("key"), 16).as("m"), count(lit(1)).as("n")).head
+      val (blob, n) = (agg.getAs[Array[Byte]]("m"), agg.getAs[Long]("n"))
+      val thr = n / 17 // guaranteed-presence threshold n/(k+1)
+      val exactTop5 = ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key").asc).limit(5)
+        .collect().map(_.getString(0)).toSet
+      val topOk = graft.core.MgSketch.deserialize(blob).topK(5).toSet == exactTop5
+      val est = mg_estimate(lit(blob), col("key"))
+      ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(thr))
+        .select(col("key"), col("cnt"),
+          (est <= col("cnt") && est >= col("cnt") - mg_error_bound(lit(blob)) &&
+            est > lit(0L)).as("ok"),
+          (mg_error_bound(lit(blob)) * lit(17L) <= lit(n)).as("bound_ok"),
+          (mg_total_count(lit(blob)) === lit(n)).as("total_ok"),
+          lit(topOk).as("top5_ok"))
+        .orderBy(col("key"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1023,6 +1056,15 @@ object SparkEntry {
         | CAST(count(*) * 10 AS BIGINT) AS brute_pairs,
         | true AS recall_ok, true AS model_roundtrip_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "q42_mg_heavyhitters" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 3 <> 0 THEN event_type
+        |  ELSE 'u' || CAST(user_id AS VARCHAR) END AS key FROM events),
+        |tot AS (SELECT count(*) AS n FROM ev)
+        |SELECT key, count(*) AS cnt, true AS ok, true AS bound_ok,
+        |  true AS total_ok, true AS top5_ok
+        |FROM ev, tot GROUP BY key, tot.n HAVING count(*) > n // 17
+        |ORDER BY key""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

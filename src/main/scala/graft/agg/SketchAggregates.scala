@@ -275,3 +275,47 @@ case class KllSketchAgg(
   override def withNewInputAggBufferOffset(o: Int): KllSketchAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): KllSketchAgg = copy(child = c)
 }
+
+/** `mg_sketch(col, k)` — Misra-Gries mergeable top-k frequency summary.
+  *
+  * Single-pass heavy hitters: unlike the CMS path
+  * ([[graft.ops.HeavyHitters]], which needs a second scan to enumerate
+  * candidate keys), the Misra-Gries summary carries its candidate keys,
+  * so `df.agg(mg_sketch(col, k))` is one scan + one blob-per-partition
+  * shuffle. Guarantee: every key with frequency > totalCount/(k+1) is
+  * retained, with `true - errorBound <= estimate <= true`.
+  *
+  * Keys are canonicalized to their string form (the same UTF-8 identity
+  * the hash-based sketches use — see `SketchAgg.keyBytes`).
+  */
+case class MgSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[MgSketch] {
+
+  override def prettyName: String = "mg_sketch"
+  override protected def expectedTypes = Seq(GraftTypeCheck.hashable)
+
+  override def createAggregationBuffer(): MgSketch = MgSketch.empty(k)
+
+  override def update(b: MgSketch, input: InternalRow): MgSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case BinaryType => b.add(new String(v.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8))
+      case _ => b.add(v.toString) // UTF8String / numeric / date-time
+    }
+    b
+  }
+
+  override def merge(b: MgSketch, o: MgSketch): MgSketch = b.mergeInPlace(o)
+  override def eval(b: MgSketch): Any = b.serialize()
+  override def serialize(b: MgSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): MgSketch = MgSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MgSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MgSketchAgg = copy(child = c)
+}

@@ -540,3 +540,70 @@ case class KllRank(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank = copy(l, r)
 }
+
+/** `mg_estimate(blob, key)` — Misra-Gries lower-bound frequency estimate
+  * (`true - mg_error_bound <= est <= true`; 0 for non-retained keys).
+  * Codegen'd: probing a key column against one broadcast summary is a
+  * per-row hot path.
+  */
+case class MgEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[MgSketch]
+  override def prettyName: String = "mg_estimate"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.string)
+  def probe(blob: Array[Byte], key: UTF8String): Long =
+    cache.get(blob, MgSketch.deserialize).estimate(key.toString)
+  override def nullSafeEval(blob: Any, key: Any): Any =
+    probe(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mge", this, classOf[MgEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (b, k) => s"${ev.value} = $self.probe($b, $k);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MgEstimate = copy(l, r)
+}
+
+/** `mg_error_bound(blob)` — the summary's total decrement Δ: every
+  * estimate underestimates its true frequency by at most Δ, and
+  * Δ <= totalCount/(k+1), so any key with true frequency above that is
+  * guaranteed retained.
+  */
+case class MgErrorBound(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "mg_error_bound"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any =
+    MgSketch.deserialize(blob.asInstanceOf[Array[Byte]]).errorBound
+  override protected def withNewChildInternal(c: Expression): MgErrorBound = copy(c)
+}
+
+/** `mg_total_count(blob)` — stream length N of a Misra-Gries blob. */
+case class MgTotalCount(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "mg_total_count"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any =
+    MgSketch.deserialize(blob.asInstanceOf[Array[Byte]]).totalCount
+  override protected def withNewChildInternal(c: Expression): MgTotalCount = copy(c)
+}
+
+/** `mg_topk(blob, j)` — top-`j` retained keys by estimated count
+  * (count desc, key asc). Evaluated once per summary blob (not a row-wise
+  * hot path), so plain eval is the right cost model.
+  */
+case class MgTopK(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[MgSketch]
+  override def prettyName: String = "mg_topk"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, Seq(IntegerType))
+  override def nullSafeEval(blob: Any, j: Any): Any = {
+    val keys = cache.get(blob.asInstanceOf[Array[Byte]], MgSketch.deserialize)
+      .topK(j.asInstanceOf[Int])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      keys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MgTopK = copy(l, r)
+}

@@ -65,6 +65,13 @@ object functions {
   def kll_sketch(c: Column, k: Int = 200): Column =
     col(KllSketchAgg(ex(c.cast(DoubleType)), k).toAggregateExpression())
 
+  /** Misra-Gries mergeable top-k frequency summary — single-pass heavy
+    * hitters (the candidate keys live inside the blob, so no second scan).
+    * Every key with frequency > N/(k+1) is guaranteed retained.
+    */
+  def mg_sketch(c: Column, k: Int = 64): Column =
+    col(MgSketchAgg(ex(c), k).toAggregateExpression())
+
   // ----- blob re-aggregation (stage 2 of salted / checkpointed builds) -----
 
   def bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BloomOps).toAggregateExpression())
@@ -74,6 +81,7 @@ object functions {
   def cms_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), CmsOps).toAggregateExpression())
   def tdigest_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), TDigestOps).toAggregateExpression())
   def kll_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), KllOps).toAggregateExpression())
+  def mg_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), MgOps).toAggregateExpression())
 
   // ----- scalar probes -----
 
@@ -111,6 +119,11 @@ object functions {
     col(TDigestQuantile(ex(blob), Literal(q)))
   def kll_quantile(blob: Column, q: Double): Column = col(KllQuantile(ex(blob), Literal(q)))
   def kll_rank(blob: Column, x: Column): Column = col(KllRank(ex(blob), ex(x.cast(DoubleType))))
+
+  def mg_estimate(blob: Column, key: Column): Column = col(MgEstimate(ex(blob), ex(key)))
+  def mg_error_bound(blob: Column): Column = col(MgErrorBound(ex(blob)))
+  def mg_total_count(blob: Column): Column = col(MgTotalCount(ex(blob)))
+  def mg_topk(blob: Column, j: Int): Column = col(MgTopK(ex(blob), Literal(j)))
 
   // ----- text sketches (dedup / fingerprinting) -----
 
@@ -206,7 +219,14 @@ object functions {
     "cms_total_count" -> ((es: Seq[Expression]) => CmsTotalCount(es(0))),
     "tdigest_quantile" -> ((es: Seq[Expression]) => TDigestQuantile(es(0), asDouble(es(1)))),
     "kll_quantile" -> ((es: Seq[Expression]) => KllQuantile(es(0), asDouble(es(1)))),
-    "kll_rank" -> ((es: Seq[Expression]) => KllRank(es(0), asDouble(es(1)))))
+    "kll_rank" -> ((es: Seq[Expression]) => KllRank(es(0), asDouble(es(1)))),
+    "mg_sketch" -> ((es: Seq[Expression]) =>
+      MgSketchAgg(es(0), if (es.length > 1) intLit(es(1), "k") else 64).toAggregateExpression()),
+    "mg_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), MgOps).toAggregateExpression()),
+    "mg_estimate" -> ((es: Seq[Expression]) => MgEstimate(es(0), es(1))),
+    "mg_error_bound" -> ((es: Seq[Expression]) => MgErrorBound(es(0))),
+    "mg_total_count" -> ((es: Seq[Expression]) => MgTotalCount(es(0))),
+    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), es(1))))
 
   /** Register all graft functions in a session's catalog for SQL use. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>
