@@ -89,6 +89,8 @@ object SketchJob {
       hll_sketch(kc, 14).as("hll"),
       theta_sketch(kc, 4096).as("theta"), // distinct WITH set algebra across runs/groups
       cms_sketch(kc, 0.0001, 0.01).as("cms"),
+      mg_sketch(kc, 64).as("mg"), // hot keys + counts, single pass, no groupBy
+
       tdigest_sketch(num, 100.0).as("tdigest"),
       kll_sketch(num, 200).as("kll"),
       count(lit(1)).as("rows"))
@@ -110,6 +112,7 @@ object SketchJob {
           hll_merge_agg(col("hll")).as("hll"),
           theta_merge(col("theta")).as("theta"),
           cms_merge(col("cms")).as("cms"),
+          mg_merge(col("mg")).as("mg"),
           tdigest_merge(col("tdigest")).as("tdigest"),
           kll_merge(col("kll")).as("kll"),
           sum(col("rows")).as("rows"))

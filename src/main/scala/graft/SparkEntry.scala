@@ -743,6 +743,27 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // --- KLL-driven equi-depth range partitioning: sketch-derived cut
+    // points put every bucket within 2x the published rank error
+    // (1.75/k) of the n/p target, with no planning-time sample job —
+    // the explicit skew-defusing repartition spec, derivable from
+    // already-checkpointed sketch states at scale ---
+    "q43_kll_range_partition" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_extendedprice").cast("double").as("v"))
+      val p = 8
+      val kllK = 400
+      val bounds = graft.ops.RangePartition.boundaries(li, "v", p, kllK)
+      val n = li.count()
+      val tol = 2.0 * (1.75 / kllK)
+      li.select(graft.ops.RangePartition.bucketColumn(col("v"), bounds).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"),
+          (abs(col("cnt").cast("double") / lit(n.toDouble) - lit(1.0 / p))
+            <= lit(tol)).as("ok"),
+          lit(bounds.length == p - 1).as("cuts_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1065,6 +1086,10 @@ object SparkEntry {
         |  true AS total_ok, true AS top5_ok
         |FROM ev, tot GROUP BY key, tot.n HAVING count(*) > n // 17
         |ORDER BY key""".stripMargin,
+
+    "q43_kll_range_partition" ->
+      """SELECT CAST(i AS INT) AS bucket, true AS ok, true AS cuts_ok
+        |FROM range(0, 8) t(i) ORDER BY bucket""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -607,3 +607,54 @@ case class MgTopK(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MgTopK = copy(l, r)
 }
+
+/** `kll_boundaries(blob, p)` — equi-depth cut points (quantiles at
+  * `i/p`, duplicates collapsed) from a KLL blob: the sketch-side half of
+  * [[graft.ops.RangePartition]], exposed to SQL so a maintained sketch
+  * state can be turned into a partitioning spec without leaving the
+  * query layer.
+  */
+case class KllBoundaries(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "kll_boundaries"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, Seq(IntegerType))
+  override def nullSafeEval(blob: Any, p: Any): Any = {
+    val bounds = graft.ops.RangePartition.boundariesFromBlob(
+      blob.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bounds.map(java.lang.Double.valueOf).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllBoundaries = copy(l, r)
+}
+
+/** `range_bucket(value, bounds)` — equi-depth bucket id: the number of
+  * boundaries <= value (binary search). Codegen'd — this sits on every
+  * row of a repartition/write, the hottest possible path.
+  */
+case class RangeBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression with GraftTypeCheck {
+  require(bounds.nonEmpty && (bounds.length == 1 || bounds.sliding(2).forall(w => w(0) < w(1))),
+    "bounds must be non-empty and strictly increasing")
+  override def prettyName: String = "range_bucket"
+  override def dataType: DataType = IntegerType
+  override protected def expectedTypes = Seq(GraftTypeCheck.double)
+  def probe(v: Double): Int = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    if (i >= 0) i + 1 // boundary value belongs to the bucket below the cut
+    else -(i + 1)
+  }
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rb", this, classOf[RangeBucket].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.probe($v);")
+  }
+  // Array-valued ctor param: structural equality/hash so plan canonicalization
+  // treats equal-bounds instances as equal
+  override def equals(o: Any): Boolean = o match {
+    case r: RangeBucket => child == r.child && java.util.Arrays.equals(bounds, r.bounds)
+    case _ => false
+  }
+  override def hashCode(): Int = child.hashCode * 31 + java.util.Arrays.hashCode(bounds)
+  override protected def withNewChildInternal(c: Expression): RangeBucket = copy(child = c)
+}

@@ -120,6 +120,9 @@ object functions {
   def kll_quantile(blob: Column, q: Double): Column = col(KllQuantile(ex(blob), Literal(q)))
   def kll_rank(blob: Column, x: Column): Column = col(KllRank(ex(blob), ex(x.cast(DoubleType))))
 
+  def kll_boundaries(blob: Column, numBuckets: Int): Column =
+    col(KllBoundaries(ex(blob), Literal(numBuckets)))
+
   def mg_estimate(blob: Column, key: Column): Column = col(MgEstimate(ex(blob), ex(key)))
   def mg_error_bound(blob: Column): Column = col(MgErrorBound(ex(blob)))
   def mg_total_count(blob: Column): Column = col(MgTotalCount(ex(blob)))
@@ -226,7 +229,8 @@ object functions {
     "mg_estimate" -> ((es: Seq[Expression]) => MgEstimate(es(0), es(1))),
     "mg_error_bound" -> ((es: Seq[Expression]) => MgErrorBound(es(0))),
     "mg_total_count" -> ((es: Seq[Expression]) => MgTotalCount(es(0))),
-    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), es(1))))
+    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), es(1))),
+    "kll_boundaries" -> ((es: Seq[Expression]) => KllBoundaries(es(0), es(1))))
 
   /** Register all graft functions in a session's catalog for SQL use. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>

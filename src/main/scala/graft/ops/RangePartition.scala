@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.core.KllSketch
+import graft.expr.{KllBoundaries, RangeBucket}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.functions.col
+
+/** Sketch-driven equi-depth range partitioning.
+  *
+  * Spark's own `repartitionByRange` launches a dedicated reservoir-sample
+  * job over the input every time it plans, and its balance degrades on
+  * heavy value skew (the sample sees the hot value many times and places
+  * several identical cut points). This operator derives the cut points
+  * from a KLL quantile sketch instead:
+  *
+  *   - one column-pruned aggregation pass builds the sketch — or ZERO
+  *     passes when a sketch blob is already maintained by the lineage /
+  *     checkpoint pipeline ([[graft.pipeline.SketchPipeline]]) — the
+  *     100-TB path: the nightly build already keeps per-partition KLL
+  *     states, so boundary refresh is driver-side math on merged blobs;
+  *   - cut points are `quantile(i/p)` for `i in 1..p-1`, each within the
+  *     published KLL rank error (1.75/k), so every bucket holds
+  *     `n/p ± 2·(1.75/k)·n` rows no matter how skewed the values;
+  *   - duplicate cuts (an atom heavier than a full bucket) are collapsed,
+  *     so bucket ids stay strictly-bounded ranges; the hot atom owns its
+  *     bucket and the *remaining* buckets stay balanced — the diagnosis
+  *     report makes the atom visible instead of hiding it.
+  *
+  * Downstream uses: `bucket` as an explicit shuffle key for balanced
+  * aggregation fan-out, as a `partitionBy` column for balanced file
+  * layout (no more one-giant-file-per-skewed-range), or as a pruning
+  * column for range-predicate reads.
+  */
+object RangePartition {
+
+  /** Equi-depth cut points from a one-pass KLL build over `df.valueCol`.
+    * Returns `p-1` strictly-increasing boundaries (fewer if heavy atoms
+    * collapse cuts).
+    */
+  def boundaries(df: DataFrame, valueCol: String, numBuckets: Int,
+                 kllK: Int = 400): Array[Double] = {
+    val blob = df.select(col(valueCol).cast("double").as("__v"))
+      .agg(graft.functions.kll_sketch(col("__v"), kllK)).head.getAs[Array[Byte]](0)
+    boundariesFromBlob(blob, numBuckets)
+  }
+
+  /** Cut points from an existing KLL blob — zero input scans. Driver-side
+    * math only; reuse the checkpointed sketch states at scale.
+    */
+  def boundariesFromBlob(blob: Array[Byte], numBuckets: Int): Array[Double] = {
+    require(numBuckets >= 2, "need at least 2 buckets")
+    val sk = KllSketch.deserialize(blob)
+    val cuts = (1 until numBuckets).map(i => sk.quantile(i.toDouble / numBuckets))
+    // collapse duplicate cuts (value atoms heavier than one bucket)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    cuts.foreach(c => if (out.isEmpty || c > out.last) out += c)
+    out.toArray
+  }
+
+  /** `range_bucket(col, bounds)` — codegen'd bucket id in `[0, |bounds|]`:
+    * the count of boundaries <= value (binary search per row).
+    */
+  def bucketColumn(c: Column, bounds: Array[Double]): Column =
+    GraftSqlBridge.column(RangeBucket(GraftSqlBridge.expression(c.cast("double")), bounds))
+
+  /** One-shuffle equi-depth repartition: rows are exchanged on their
+    * bucket id. With `numBuckets` a few times the shuffle-partition count,
+    * hash placement of the (already equi-depth) ids keeps every reducer
+    * within a small factor of the mean even under extreme value skew —
+    * and unlike `repartitionByRange` there is no planning-time sample job.
+    */
+  def repartitionBalanced(df: DataFrame, valueCol: String, numBuckets: Int,
+                          kllK: Int = 400): DataFrame = {
+    val b = boundaries(df, valueCol, numBuckets, kllK)
+    df.withColumn("__graft_bucket", bucketColumn(col(valueCol), b))
+      .repartition(col("__graft_bucket"))
+      .drop("__graft_bucket")
+  }
+
+  /** Per-bucket occupancy report against the equi-depth target — the skew
+    * diagnosis surface: `(bucket, cnt, frac, lo, hi)` rows, one per
+    * realized bucket, where `lo`/`hi` are the bucket's boundary values
+    * (NaN-open at the ends).
+    */
+  def occupancy(df: DataFrame, valueCol: String, bounds: Array[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = df.count().toDouble
+    val loFor = udfFreeBoundaryLookup(bounds, isLo = true)
+    val hiFor = udfFreeBoundaryLookup(bounds, isLo = false)
+    df.select(bucketColumn(col(valueCol), bounds).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("frac", col("cnt") / lit(n))
+      .withColumn("lo", loFor(col("bucket")))
+      .withColumn("hi", hiFor(col("bucket")))
+      .orderBy(col("bucket"))
+  }
+
+  // boundary lookup as a literal-array element_at, not a UDF: buckets are
+  // few, codegen handles it, and the plan stays whole-stage
+  private def udfFreeBoundaryLookup(bounds: Array[Double], isLo: Boolean): Column => Column = {
+    import org.apache.spark.sql.functions._
+    val arr = array(bounds.map(lit): _*)
+    (bucket: Column) =>
+      if (isLo) when(bucket === 0, lit(Double.NegativeInfinity))
+        .otherwise(element_at(arr, bucket.cast("int")))
+      else when(bucket === bounds.length, lit(Double.PositiveInfinity))
+        .otherwise(element_at(arr, bucket.cast("int") + 1))
+  }
+}
