@@ -153,7 +153,7 @@ object Bench {
       "q07_quantiles", "q10_dedup_exact", "q11_dedup_minhash", "q14_embed_knn",
       "q16_text_stats", "q19_salted_group", "q28_dedup_pathological",
       "q29_sharded_bloom_join", "q30_embed_neardup", "q33_theta_setops",
-      "q35_paragraph_dedup")
+      "q35_paragraph_dedup", "q42_mg_heavyhitters", "q43_kll_range_partition")
     val queries = SparkEntry.queries
     val qTimes = headline.map { name =>
       val (_, t) = time {

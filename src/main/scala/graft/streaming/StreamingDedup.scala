@@ -89,6 +89,14 @@ object StreamingDedup {
   /** Bounded-state first-seen pass-through; state = one Bloom filter per
     * fingerprint shard. `nPerShard`/`p` size each shard filter for the
     * expected distinct count (total state = shards × shard filter bytes).
+    *
+    * Sizing: the state store round-trips one shard blob per micro-batch
+    * per active shard, so prefer MANY SMALL shards — keep `nPerShard` at
+    * ~10^6 (≈1.2 MB at p=0.01) and scale out via `shards`; a single
+    * nPerShard=10^8 shard would serde ~120 MB every batch for the same
+    * capacity. A shard whose batch admits nothing skips the state write
+    * entirely (the filter is unchanged), so duplicate-heavy steady state
+    * pays no serde at all.
     */
   def firstSeenBloom(docs: Dataset[(Long, String)], shards: Int,
                      nPerShard: Long, p: Float): Dataset[(Long, String)] = {
@@ -103,14 +111,15 @@ object StreamingDedup {
         (_: Long, rows: Iterator[(Long, String)], state: GroupState[Array[Byte]]) =>
           val filter = state.getOption.map(BloomSketch.deserialize)
             .getOrElse(BloomSketch.empty(nPerShard, p))
+          var added = false
           val out = rows.filter { case (_, text) =>
             val fpBytes = java.nio.ByteBuffer.allocate(8)
               .putLong(TextShingles.fingerprint(text)).array()
             val seen = filter.contains(fpBytes)
-            if (!seen) filter.add(fpBytes)
+            if (!seen) { filter.add(fpBytes); added = true }
             !seen
           }.toVector
-          state.update(filter.serialize())
+          if (added) state.update(filter.serialize())
           out.iterator
       }
   }
