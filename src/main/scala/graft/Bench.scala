@@ -103,25 +103,41 @@ object Bench {
     var blobsHi: Seq[Array[Byte]] = null
     var tLo = Double.MaxValue
     var tHi = Double.MaxValue
-    // alternating reps (3x4N, 2xN), min per level: the first rep still
-    // pays residual compilation (measured 20-50% slower), min is the
-    // steady-state estimator, and the slow level gets one fewer rep to
-    // bound the harness wall-clock (its runs are the stable ones: the
-    // box is idle at 2 of 32 cores)
-    for (cores <- Seq(nHi, nLo, nHi, nLo, nHi)) {
-      val s = session(cores)
-      // absorb session-start and inherited-heap costs OUTSIDE the timed
-      // window: a fresh session's first job otherwise pays the previous
-      // session's garbage (measured 2-5x first-run penalty)
-      System.gc()
-      s.range(20000000L).selectExpr("count(id)").head
-      val (blobs, t) = time(battery(s, tableDir, nDocs))
-      System.err.println(f"[bench] battery cores=$cores t=$t%.2f")
-      if (cores == nLo) { if (t < tLo) tLo = t; blobsLo = blobs }
-      else { if (t < tHi) tHi = t; blobsHi = blobs }
-      s.stop()
-      System.gc()
+    val repLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // Adaptive min-of-reps per level: one session per rep; inside each
+    // session an UNTIMED battery absorbs session start, codegen compile
+    // and inherited-heap costs (measured 2-5x first-run penalty), then
+    // one timed battery. The sandbox host intermittently steals cycles in
+    // multi-minute windows (observed 2-10x inflation on identical reps
+    // with an idle guest, while a single-thread calibration loop stays
+    // flat) — so reps continue per level until the best two agree within
+    // 15%, capped at 5; min is the steady-state estimator. Every rep is
+    // reported in the JSON (`battery_reps`) so a poisoned window is
+    // visible instead of silently folded into the headline.
+    def repsFor(cores: Int): Seq[Array[Byte]] = {
+      var best = Double.MaxValue
+      var second = Double.MaxValue
+      var blobs: Seq[Array[Byte]] = null
+      var i = 0
+      while (i < 5 && (i < 2 || second > best * 1.15)) {
+        val s = session(cores)
+        System.gc()
+        s.range(20000000L).selectExpr("count(id)").head
+        battery(s, tableDir, nDocs) // untimed warm rep
+        val (b, t) = time(battery(s, tableDir, nDocs))
+        System.err.println(f"[bench] battery cores=$cores t=$t%.2f")
+        repLog += ((cores, t))
+        if (t < best) { second = best; best = t; blobs = b }
+        else if (t < second) second = t
+        s.stop()
+        System.gc()
+        i += 1
+      }
+      if (cores == nLo) tLo = best else tHi = best
+      blobs
     }
+    blobsHi = repsFor(nHi)
+    blobsLo = repsFor(nLo)
     val thrLo = nDocs / tLo
     val thrHi = nDocs / tHi
     val efficiency = (thrHi / thrLo) / (nHi.toDouble / nLo)
@@ -175,6 +191,7 @@ object Bench {
         s""","secs_local$nLo":${f"$tLo%.2f"},"secs_local$nHi":${f"$tHi%.2f"}""" +
         s""","docs_per_sec_local$nLo":${f"$thrLo%.0f"},"docs_per_sec_local$nHi":${f"$thrHi%.0f"}""" +
         s""","scaling_efficiency":${f"$efficiency%.3f"},"parallelism_invariant":$invariant""" +
-        s""","quantile_rank_stable":$rankStable}""")
+        s""","quantile_rank_stable":$rankStable""" +
+        s""","battery_reps":${repLog.map { case (c, t) => s"""[$c,${f"$t%.2f"}]""" }.mkString("[", ",", "]")}}""")
   }
 }

@@ -764,6 +764,25 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // --- bottom-k-by-hash distinct sample: per-group uniform example
+    // sample that retains values, bitwise deterministic at any
+    // partitioning (the audit-sample operator). Emitted facts are
+    // invariant: exact sample size, cross-partitioning blob equality,
+    // membership of every sampled key in its group ---
+    "q44_bottomk_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"), col("doc_id").cast("string").as("k"))
+      val b1 = d.groupBy(col("lang")).agg(bottomk_sample(col("k"), 10).as("b"))
+      val b2 = d.repartition(7, col("k"))
+        .groupBy(col("lang")).agg(bottomk_sample(col("k"), 10).as("b2"))
+      val membersOk = b1.select(col("lang"), explode(bk_values(col("b"))).as("k"))
+        .join(d, Seq("lang", "k"), "left_anti").count() == 0
+      b1.join(b2, "lang")
+        .select(col("lang"), size(bk_values(col("b"))).as("sample_size"),
+          (col("b") === col("b2")).as("deterministic"),
+          lit(membersOk).as("members_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1090,6 +1109,11 @@ object SparkEntry {
     "q43_kll_range_partition" ->
       """SELECT CAST(i AS INT) AS bucket, true AS ok, true AS cuts_ok
         |FROM range(0, 8) t(i) ORDER BY bucket""".stripMargin,
+
+    "q44_bottomk_sample" ->
+      """SELECT lang, CAST(least(10, count(DISTINCT doc_id)) AS INT) AS sample_size,
+        |  true AS deterministic, true AS members_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

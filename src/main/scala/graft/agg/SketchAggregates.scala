@@ -319,3 +319,41 @@ case class MgSketchAgg(
   override def withNewInputAggBufferOffset(o: Int): MgSketchAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): MgSketchAgg = copy(child = c)
 }
+
+/** `bottomk_sample(col, k)` — mergeable uniform sample of DISTINCT keys
+  * that retains the values (Beyer et al. SIGMOD 2007 bottom-k synopsis).
+  * Deterministic by construction: any partitioning/merge order yields the
+  * bitwise-identical blob — "k random example values per group, one pass,
+  * mergeable across days".
+  */
+case class BkSampleAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAgg[BkSample] {
+
+  override def prettyName: String = "bottomk_sample"
+  override protected def expectedTypes = Seq(GraftTypeCheck.hashable)
+
+  override def createAggregationBuffer(): BkSample = BkSample.empty(k)
+
+  override def update(b: BkSample, input: InternalRow): BkSample = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case BinaryType => b.add(new String(v.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8))
+      case _ => b.add(v.toString)
+    }
+    b
+  }
+
+  override def merge(b: BkSample, o: BkSample): BkSample = b.mergeInPlace(o)
+  override def eval(b: BkSample): Any = b.serialize()
+  override def serialize(b: BkSample): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): BkSample = BkSample.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BkSampleAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BkSampleAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BkSampleAgg = copy(child = c)
+}

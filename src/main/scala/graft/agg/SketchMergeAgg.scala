@@ -67,6 +67,13 @@ object TDigestOps extends SketchOps {
   def serialize(s: S): Array[Byte] = s.serialize()
   def merge(a: S, b: S): S = a.mergeInPlace(b)
 }
+object BkOps extends SketchOps {
+  type S = BkSample
+  val name = "bk"
+  def deserialize(b: Array[Byte]): S = BkSample.deserialize(b)
+  def serialize(s: S): Array[Byte] = s.serialize()
+  def merge(a: S, b: S): S = a.mergeInPlace(b)
+}
 object MgOps extends SketchOps {
   type S = MgSketch
   val name = "mg"

@@ -1,0 +1,133 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Bottom-k-by-hash distinct sample: a mergeable uniform sample over the
+  * DISTINCT keys of a stream that retains the key VALUES (the one thing
+  * [[ThetaSketch]]'s KMV store deliberately throws away). Published
+  * basis: the KMV/bottom-k synopsis of Beyer et al., "On synopses for
+  * distinct-value estimation under multiset operations" (SIGMOD 2007) —
+  * same sample semantics, value-carrying store.
+  *
+  * Each key's priority is a fixed deterministic hash (seeded FNV-1a
+  * finalized with splitmix64, the library hash contract); the summary
+  * keeps the k smallest priorities. Properties:
+  *
+  *   - **uniform over distinct keys**: a key's presence depends only on
+  *     its own hash rank, never on duplication count or arrival order;
+  *   - **exact monoid**: merge = set union + keep-k-smallest, so any
+  *     partition/merge tree yields the BITWISE-identical summary — the
+  *     parallelism-invariance contract the Bloom/theta sketches have;
+  *   - **pipeline use**: "give me ~k random example documents per group,
+  *     one pass, mergeable across days" — the audit-sample operator.
+  *
+  * Ties: priority collisions between distinct keys (~2^-64) break on the
+  * key bytes, keeping determinism unconditional.
+  *
+  * Serialization (LE, magic-versioned): magic, k, numEntries, then
+  * entries in (priority, key) order: priority u64, keyLen, utf8 bytes.
+  */
+final class BkSample private (
+    val k: Int,
+    // (unsigned priority, key) ordered set, size <= k
+    private val entries0: java.util.TreeSet[(Long, String)]
+) extends Serializable {
+
+  def size: Int = entries0.size
+
+  def add(key: String): Unit = {
+    val p = BkSample.priority(key)
+    val e = (p, key)
+    if (entries0.size < k) { entries0.add(e); () }
+    else {
+      val last = entries0.last()
+      if (BkSample.ord.compare(e, last) < 0 && !entries0.contains(e)) {
+        entries0.add(e)
+        if (entries0.size > k) entries0.remove(entries0.last())
+      }
+    }
+  }
+
+  /** Sampled keys in priority order (deterministic). */
+  def values: Array[String] = {
+    val out = new Array[String](entries0.size)
+    val it = entries0.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next()._2; i += 1 }
+    out
+  }
+
+  def mergeInPlace(other: BkSample): BkSample = {
+    require(k == other.k, s"incompatible bottom-k capacities: $k vs ${other.k}")
+    val it = other.entries0.iterator()
+    while (it.hasNext) {
+      entries0.add(it.next())
+      if (entries0.size > k) entries0.remove(entries0.last())
+    }
+    // a smaller incoming entry can displace while duplicates collapse via
+    // set semantics; trim any residual overflow
+    while (entries0.size > k) entries0.remove(entries0.last())
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val vs = new Array[(Long, String)](entries0.size)
+    entries0.toArray(vs.asInstanceOf[Array[Object]])
+    val keyBytes = vs.map(_._2.getBytes(UTF_8))
+    val size = 4 + 4 + 4 + keyBytes.map(_.length + 12).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(BkSample.Magic)
+    bb.putInt(k)
+    bb.putInt(vs.length)
+    var i = 0
+    while (i < vs.length) {
+      bb.putLong(vs(i)._1)
+      bb.putInt(keyBytes(i).length)
+      bb.put(keyBytes(i))
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object BkSample {
+  /** 'B''K' + format version 1. */
+  private[core] val Magic: Int = 0x424b0001
+
+  /** Unsigned-first ordering on (priority, key). */
+  private[core] val ord: java.util.Comparator[(Long, String)] =
+    new java.util.Comparator[(Long, String)] with Serializable {
+      override def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compareUnsigned(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+  private[core] def priority(key: String): Long =
+    Fnv.splitmix64(Fnv.fnv1a(key.getBytes(UTF_8), 0))
+
+  def empty(k: Int): BkSample = {
+    require(k >= 1, "k must be >= 1")
+    new BkSample(k, new java.util.TreeSet[(Long, String)](ord))
+  }
+
+  def deserialize(bytes: Array[Byte]): BkSample = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt()
+    require(magic == Magic, f"not a bottom-k sample blob (magic 0x$magic%08x)")
+    val k = bb.getInt()
+    val n = bb.getInt()
+    val s = new java.util.TreeSet[(Long, String)](ord)
+    var i = 0
+    while (i < n) {
+      val p = bb.getLong()
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      s.add((p, new String(kb, UTF_8)))
+      i += 1
+    }
+    new BkSample(k, s)
+  }
+}

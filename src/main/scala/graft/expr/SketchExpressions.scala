@@ -658,3 +658,19 @@ case class RangeBucket(child: Expression, bounds: Array[Double])
   override def hashCode(): Int = child.hashCode * 31 + java.util.Arrays.hashCode(bounds)
   override protected def withNewChildInternal(c: Expression): RangeBucket = copy(child = c)
 }
+
+/** `bk_values(blob)` — the bottom-k sample's keys in priority order
+  * (deterministic). Per-blob, not per-row — plain eval.
+  */
+case class BkValues(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "bk_values"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any = {
+    val vs = BkSample.deserialize(blob.asInstanceOf[Array[Byte]]).values
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): BkValues = copy(c)
+}

@@ -72,6 +72,13 @@ object functions {
   def mg_sketch(c: Column, k: Int = 64): Column =
     col(MgSketchAgg(ex(c), k).toAggregateExpression())
 
+  /** Bottom-k-by-hash distinct sample — mergeable uniform sample over the
+    * distinct keys that RETAINS the values; bitwise deterministic at any
+    * parallelism ("k example documents per group, one pass").
+    */
+  def bottomk_sample(c: Column, k: Int = 100): Column =
+    col(BkSampleAgg(ex(c), k).toAggregateExpression())
+
   // ----- blob re-aggregation (stage 2 of salted / checkpointed builds) -----
 
   def bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BloomOps).toAggregateExpression())
@@ -82,6 +89,7 @@ object functions {
   def tdigest_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), TDigestOps).toAggregateExpression())
   def kll_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), KllOps).toAggregateExpression())
   def mg_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), MgOps).toAggregateExpression())
+  def bk_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BkOps).toAggregateExpression())
 
   // ----- scalar probes -----
 
@@ -127,6 +135,7 @@ object functions {
   def mg_error_bound(blob: Column): Column = col(MgErrorBound(ex(blob)))
   def mg_total_count(blob: Column): Column = col(MgTotalCount(ex(blob)))
   def mg_topk(blob: Column, j: Int): Column = col(MgTopK(ex(blob), Literal(j)))
+  def bk_values(blob: Column): Column = col(BkValues(ex(blob)))
 
   // ----- text sketches (dedup / fingerprinting) -----
 
@@ -230,7 +239,11 @@ object functions {
     "mg_error_bound" -> ((es: Seq[Expression]) => MgErrorBound(es(0))),
     "mg_total_count" -> ((es: Seq[Expression]) => MgTotalCount(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), es(1))),
-    "kll_boundaries" -> ((es: Seq[Expression]) => KllBoundaries(es(0), es(1))))
+    "kll_boundaries" -> ((es: Seq[Expression]) => KllBoundaries(es(0), es(1))),
+    "bottomk_sample" -> ((es: Seq[Expression]) =>
+      BkSampleAgg(es(0), if (es.length > 1) intLit(es(1), "k") else 100).toAggregateExpression()),
+    "bk_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), BkOps).toAggregateExpression()),
+    "bk_values" -> ((es: Seq[Expression]) => BkValues(es(0))))
 
   /** Register all graft functions in a session's catalog for SQL use. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>
