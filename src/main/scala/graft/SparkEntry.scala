@@ -783,6 +783,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- weighted Misra-Gries heavy hitters: heavy by TOTAL WEIGHT
+    // (bytes per domain, tokens per url — the pipeline ask), same
+    // guarantees with n = total weight W. floor(value) keeps the weight
+    // derivation Spark/DuckDB-exact ---
+    "q45_mg_weighted" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(when(col("event_id") % 3 =!= 0, col("event_type"))
+          .otherwise(concat(lit("u"), col("user_id"))).as("key"),
+          floor(col("value")).cast("long").as("w"))
+      val agg = ev.agg(mg_sketch_weighted(col("key"), col("w"), 16).as("m"),
+        sum(col("w")).as("tw")).head
+      val (blob, tw) = (agg.getAs[Array[Byte]]("m"), agg.getAs[Long]("tw"))
+      val thr = tw / 17
+      val est = mg_estimate(lit(blob), col("key"))
+      ev.groupBy(col("key")).agg(sum(col("w")).as("wt"))
+        .filter(col("wt") > lit(thr))
+        .select(col("key"), col("wt"),
+          (est <= col("wt") && est >= col("wt") - mg_error_bound(lit(blob)) &&
+            est > lit(0L)).as("ok"),
+          (mg_error_bound(lit(blob)) * lit(17L) <= lit(tw)).as("bound_ok"),
+          (mg_total_count(lit(blob)) === lit(tw)).as("total_ok"))
+        .orderBy(col("key"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1114,6 +1138,16 @@ object SparkEntry {
       """SELECT lang, CAST(least(10, count(DISTINCT doc_id)) AS INT) AS sample_size,
         |  true AS deterministic, true AS members_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q45_mg_weighted" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 3 <> 0 THEN event_type
+        |  ELSE 'u' || CAST(user_id AS VARCHAR) END AS key,
+        |  CAST(floor(value) AS BIGINT) AS w FROM events),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM ev)
+        |SELECT key, CAST(sum(w) AS BIGINT) AS wt, true AS ok,
+        |  true AS bound_ok, true AS total_ok
+        |FROM ev, tot GROUP BY key, tot.tw HAVING CAST(sum(w) AS BIGINT) > tw // 17
+        |ORDER BY key""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -357,3 +357,52 @@ case class BkSampleAgg(
   override def withNewInputAggBufferOffset(o: Int): BkSampleAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BkSampleAgg = copy(child = c)
 }
+
+/** `mg_sketch_weighted(col, weight, k)` — weighted Misra-Gries: heavy
+  * hitters by TOTAL WEIGHT (bytes per domain, tokens per url) rather than
+  * row count. Same published guarantees with n = total weight W:
+  * every key with weight > W/(k+1) retained; `true − Δ ≤ est ≤ true`,
+  * `Δ ≤ W/(k+1)` (the weighted insert is the SpaceSaving-style
+  * generalization the PODS 2012 merge proof covers).
+  */
+case class MgWeightedSketchAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSketch]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] with GraftTypeCheck {
+
+  override def prettyName: String = "mg_sketch_weighted"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes =
+    Seq(GraftTypeCheck.hashable, Seq(LongType, IntegerType))
+
+  override def createAggregationBuffer(): MgSketch = MgSketch.empty(k)
+
+  override def update(b: MgSketch, input: InternalRow): MgSketch = {
+    val key = left.eval(input)
+    val w = right.eval(input)
+    if (key != null && w != null) {
+      val weight = w.asInstanceOf[Number].longValue()
+      left.dataType match {
+        case BinaryType => b.add(new String(key.asInstanceOf[Array[Byte]],
+          java.nio.charset.StandardCharsets.UTF_8), weight)
+        case _ => b.add(key.toString, weight)
+      }
+    }
+    b
+  }
+
+  override def merge(b: MgSketch, o: MgSketch): MgSketch = b.mergeInPlace(o)
+  override def eval(b: MgSketch): Any = b.serialize()
+  override def serialize(b: MgSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): MgSketch = MgSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): MgWeightedSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgWeightedSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MgWeightedSketchAgg =
+    copy(left = l, right = r)
+}

@@ -72,6 +72,12 @@ object functions {
   def mg_sketch(c: Column, k: Int = 64): Column =
     col(MgSketchAgg(ex(c), k).toAggregateExpression())
 
+  /** Weighted Misra-Gries: heavy hitters by total weight (bytes per
+    * domain, tokens per url); key with weight > W/(k+1) guaranteed kept.
+    */
+  def mg_sketch_weighted(c: Column, weight: Column, k: Int = 64): Column =
+    col(MgWeightedSketchAgg(ex(c), ex(weight.cast("long")), k).toAggregateExpression())
+
   /** Bottom-k-by-hash distinct sample — mergeable uniform sample over the
     * distinct keys that RETAINS the values; bitwise deterministic at any
     * parallelism ("k example documents per group, one pass").
@@ -243,7 +249,12 @@ object functions {
     "bottomk_sample" -> ((es: Seq[Expression]) =>
       BkSampleAgg(es(0), if (es.length > 1) intLit(es(1), "k") else 100).toAggregateExpression()),
     "bk_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), BkOps).toAggregateExpression()),
-    "bk_values" -> ((es: Seq[Expression]) => BkValues(es(0))))
+    "bk_values" -> ((es: Seq[Expression]) => BkValues(es(0))),
+    "mg_sketch_weighted" -> ((es: Seq[Expression]) =>
+      MgWeightedSketchAgg(es(0),
+        if (es(1).dataType == org.apache.spark.sql.types.LongType) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
+        if (es.length > 2) intLit(es(2), "k") else 64).toAggregateExpression()))
 
   /** Register all graft functions in a session's catalog for SQL use. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>

@@ -149,4 +149,27 @@ class MgSketchSpec extends AnyFunSuite {
     val cnt0 = exact("hot0")
     assert(merged.getAs[Long]("e") <= cnt0 && merged.getAs[Long]("e") >= cnt0 - 30000L / 17)
   }
+
+  test("weighted UDAF: heavy-by-weight bound with W = total weight") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.mg_sketch_weighted
+    // key i in 0..99; weight = 1 + i%7; three hot keys get weight 500
+    val df = spark.range(20000).select(
+      concat(lit("k"), col("id") % 100).as("key"),
+      when(col("id") % 100 < 3, lit(500L)).otherwise(lit(1L) + col("id") % 7).as("w"))
+    val blob = df.agg(mg_sketch_weighted(col("key"), col("w"), 12))
+      .head.getAs[Array[Byte]](0)
+    val mg = MgSketch.deserialize(blob)
+    val exact = df.groupBy("key").agg(sum("w").as("wt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = exact.values.sum
+    assert(mg.totalCount == w)
+    assert(mg.errorBound <= w / 13)
+    Seq("k0", "k1", "k2").foreach { key => // 100k weight each, far above W/13
+      val est = mg.estimate(key)
+      assert(est > 0 && est <= exact(key) && est >= exact(key) - mg.errorBound)
+    }
+    assert(mg.topK(3).toSet == Set("k0", "k1", "k2"))
+  }
 }
