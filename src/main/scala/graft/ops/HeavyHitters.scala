@@ -59,4 +59,35 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thresh)
   }
+
+  /** ONE-scan approximate heavy hitters via the Misra-Gries summary
+    * ([[graft.core.MgSketch]]): the candidate keys and their bounded
+    * counts live inside one small blob, so unlike [[exact]] there is no
+    * second pass — the right call when the input is a stream, a
+    * nondeterministic view, or when a second 100-TB scan is the cost that
+    * matters.
+    *
+    * Returns `(key, cnt_lo, cnt_hi)` for every retained key whose upper
+    * bound clears `phi·N`, with `cnt_lo ≤ true ≤ cnt_hi` and
+    * `cnt_hi − cnt_lo = Δ ≤ N/(k+1)`. GUARANTEED to include every truly
+    * phi-heavy key whenever `k ≥ 1/phi` (then `Δ ≤ N/(k+1) < phi·N ≤
+    * true`, so a heavy key survives eviction AND its upper bound clears
+    * the threshold); may also return near-heavy keys within Δ of the line
+    * — the one-scan trade. Size `k` a few times `1/phi` to thin those.
+    */
+  def approx(df: DataFrame, keyCol: String, phi: Double, k: Int = 256): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    require(k >= math.ceil(1 / phi),
+      s"k=$k cannot guarantee phi=$phi heavy hitters: need k >= ceil(1/phi)=${math.ceil(1 / phi).toInt}")
+    val spark = df.sparkSession
+    val blob = df.agg(mg_sketch(col(keyCol).cast("string"), k))
+      .head.getAs[Array[Byte]](0)
+    val mg = graft.core.MgSketch.deserialize(blob)
+    val thresh = phi * mg.totalCount
+    val rows = mg.entries.toSeq.collect {
+      case (key, lo) if lo + mg.errorBound >= thresh => (key, lo, lo + mg.errorBound)
+    }
+    import spark.implicits._
+    rows.toDF(keyCol, "cnt_lo", "cnt_hi").orderBy(col("cnt_lo").desc, col(keyCol))
+  }
 }

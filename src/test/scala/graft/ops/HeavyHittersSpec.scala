@@ -32,6 +32,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(HeavyHitters.exact(df, "key", 0.01, 1e-3, 0.01).count() == 0)
   }
 
+  test("approx (Misra-Gries, one scan): includes every true heavy, brackets exact") {
+    val rows = (0 until 40000).map { i =>
+      if (i % 10 == 0) "hot-a"
+      else if (i % 20 == 1) "hot-b"
+      else s"light-${i % 2000}"
+    }
+    val df = rows.toDF("key").repartition(16)
+    val got = HeavyHitters.approx(df, "key", 0.03, k = 64)
+      .as[(String, Long, Long)].collect()
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = exact.filter(_._2 >= 0.03 * 40000).keySet
+    assert(heavy.subsetOf(got.map(_._1).toSet)) // no heavy key missed
+    got.foreach { case (k, lo, hi) =>
+      val t = exact(k)
+      assert(lo <= t && t <= hi, s"$k: true $t outside [$lo,$hi]")
+      assert(hi - lo <= 40000 / 65, "delta over the published bound")
+    }
+    // one scan: unlike exact(), a nondeterministic source is acceptable
+    val nd = spark.range(40000).select(concat(lit("k"), (rand(7) * 5).cast("int")).as("key"))
+    assert(HeavyHitters.approx(nd, "key", 0.05, 64).count() >= 5)
+    // k too small for the phi guarantee is refused
+    intercept[IllegalArgumentException] { HeavyHitters.approx(df, "key", 0.001, 64) }
+  }
+
   test("nondeterministic input is refused (double-scan superset guarantee)") {
     // rand()-derived key: the CMS build and the exact count would see
     // DIFFERENT row sets — the operator must refuse, not silently lie.

@@ -97,6 +97,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(blob2.toSeq == direct.toSeq)
   }
 
+  test("generic checkpoint/resume covers the round-3 sketches (mg + bottom-k)") {
+    import graft.functions.{mg_sketch, mg_merge, bottomk_sample, bk_merge}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-mg").toString
+    WebPages.dataset(spark, 2000, 6).toDF().write.mode("overwrite").parquet(s"$tmp/pages")
+    val files = spark.read.parquet(s"$tmp/pages").inputFiles.toSeq
+    val pages = spark.read.parquet(s"$tmp/pages")
+    def viaCkpt(dir: String) = SketchPipeline.buildCheckpointed[(Array[Byte], Array[Byte])](
+      spark, files,
+      df => df.agg(mg_sketch($"lang", 8).as("mg"), bottomk_sample($"url", 20).as("bk")),
+      parts => {
+        val r = parts.agg(mg_merge($"mg").as("mg"), bk_merge($"bk").as("bk")).head
+        (r.getAs[Array[Byte]]("mg"), r.getAs[Array[Byte]]("bk"))
+      },
+      s"$tmp/$dir", numGroups = 3)
+    val (mgB, bkB) = viaCkpt("ck1")
+    // bottom-k is an exact monoid: checkpointed == direct, bitwise
+    val direct = pages.agg(bottomk_sample($"url", 20)).head.getAs[Array[Byte]](0)
+    assert(bkB.toSeq == direct.toSeq)
+    // mg bound survives the grouped build + blob re-merge
+    val mg = graft.core.MgSketch.deserialize(mgB)
+    val exact = pages.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(mg.totalCount == 2000L)
+    exact.foreach { case (lang, cnt) =>
+      assert(mg.estimate(lang) <= cnt && mg.estimate(lang) >= cnt - mg.errorBound)
+    }
+  }
+
   test("merge aggregates handle empty input (null result)") {
     val empty = spark.emptyDataFrame.withColumn("b", lit(Array.emptyByteArray)).limit(0)
     val r = WebPages.dataset(spark, 10, 2).toDF()
