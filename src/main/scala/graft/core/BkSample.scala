@@ -25,18 +25,28 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Ties: priority collisions between distinct keys (~2^-64) break on the
   * key bytes, keeping determinism unconditional.
   *
-  * Serialization (LE, magic-versioned): magic, k, numEntries, then
-  * entries in (priority, key) order: priority u64, keyLen, utf8 bytes.
+  * Serialization (LE, magic-versioned): magic, k, totalAdds, numEntries,
+  * then entries in (priority, key) order: priority u64, keyLen, utf8
+  * bytes. `totalAdds` (rows folded, duplicates included) is additive
+  * across merges, so blob identity still only depends on the input
+  * multiset, never on partitioning.
   */
 final class BkSample private (
     val k: Int,
     // (unsigned priority, key) ordered set, size <= k
-    private val entries0: java.util.TreeSet[(Long, String)]
+    private val entries0: java.util.TreeSet[(Long, String)],
+    private var _adds: Long
 ) extends Serializable {
 
   def size: Int = entries0.size
 
+  /** Rows folded into this sample (duplicates included) — additive across
+    * merges, so it equals the serial count at any partitioning.
+    */
+  def totalAdds: Long = _adds
+
   def add(key: String): Unit = {
+    _adds += 1
     val p = BkSample.priority(key)
     val e = (p, key)
     if (entries0.size < k) { entries0.add(e); () }
@@ -60,6 +70,7 @@ final class BkSample private (
 
   def mergeInPlace(other: BkSample): BkSample = {
     require(k == other.k, s"incompatible bottom-k capacities: $k vs ${other.k}")
+    _adds += other._adds
     val it = other.entries0.iterator()
     while (it.hasNext) {
       entries0.add(it.next())
@@ -75,10 +86,11 @@ final class BkSample private (
     val vs = new Array[(Long, String)](entries0.size)
     entries0.toArray(vs.asInstanceOf[Array[Object]])
     val keyBytes = vs.map(_._2.getBytes(UTF_8))
-    val size = 4 + 4 + 4 + keyBytes.map(_.length + 12).sum
+    val size = 4 + 4 + 8 + 4 + keyBytes.map(_.length + 12).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(BkSample.Magic)
     bb.putInt(k)
+    bb.putLong(_adds)
     bb.putInt(vs.length)
     var i = 0
     while (i < vs.length) {
@@ -109,7 +121,7 @@ object BkSample {
 
   def empty(k: Int): BkSample = {
     require(k >= 1, "k must be >= 1")
-    new BkSample(k, new java.util.TreeSet[(Long, String)](ord))
+    new BkSample(k, new java.util.TreeSet[(Long, String)](ord), 0L)
   }
 
   def deserialize(bytes: Array[Byte]): BkSample = {
@@ -117,6 +129,7 @@ object BkSample {
     val magic = bb.getInt()
     require(magic == Magic, f"not a bottom-k sample blob (magic 0x$magic%08x)")
     val k = bb.getInt()
+    val adds = bb.getLong()
     val n = bb.getInt()
     val s = new java.util.TreeSet[(Long, String)](ord)
     var i = 0
@@ -128,6 +141,6 @@ object BkSample {
       s.add((p, new String(kb, UTF_8)))
       i += 1
     }
-    new BkSample(k, s)
+    new BkSample(k, s, adds)
   }
 }

@@ -43,6 +43,52 @@ object StreamingSketch {
       }
   }
 
+  /** Generic per-group sketch fold — the same `flatMapGroupsWithState`
+    * shape for ANY graft sketch: `empty` builds the fresh per-group
+    * state, `add` folds one key, serde round-trips the state-store blob,
+    * `metric` is the per-batch emitted observability number. All five
+    * must be serializable closures (plain function literals are).
+    */
+  def sketchPerGroup[S](keyed: Dataset[(String, String)],
+                        empty: () => S,
+                        add: (S, String) => Unit,
+                        ser: S => Array[Byte],
+                        deser: Array[Byte] => S,
+                        metric: S => Long): Dataset[SketchUpdate] = {
+    implicit val updEnc = Encoders.product[SketchUpdate]
+    implicit val strEnc = Encoders.STRING
+    implicit val binEnc = Encoders.BINARY
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption.map(deser).getOrElse(empty())
+          rows.foreach { case (_, k) => if (k != null) add(sketch, k) }
+          val blob = ser(sketch)
+          state.update(blob)
+          Iterator.single(SketchUpdate(group, blob, metric(sketch)))
+      }
+  }
+
+  /** Streaming heavy hitters: per-group Misra-Gries summaries folded per
+    * micro-batch — the one-scan [[graft.ops.HeavyHitters.approx]]
+    * semantics over an unbounded stream (bounded state: k counters +
+    * delta per group).
+    */
+  def mgPerGroup(keyed: Dataset[(String, String)], k: Int): Dataset[SketchUpdate] =
+    sketchPerGroup[graft.core.MgSketch](keyed,
+      () => graft.core.MgSketch.empty(k), (s, key) => s.add(key),
+      _.serialize(), graft.core.MgSketch.deserialize, _.totalCount)
+
+  /** Streaming audit sample: per-group bottom-k distinct samples. The
+    * fold is the same exact monoid as the batch build, so the streamed
+    * blob equals the batch blob over the same rows, bitwise.
+    */
+  def bottomKPerGroup(keyed: Dataset[(String, String)], k: Int): Dataset[SketchUpdate] =
+    sketchPerGroup[graft.core.BkSample](keyed,
+      () => graft.core.BkSample.empty(k), (s, key) => s.add(key),
+      _.serialize(), graft.core.BkSample.deserialize, _.totalAdds)
+
   /** Same shape for HLL distinct-count sketches. */
   def hllPerGroup(keyed: Dataset[(String, String)], precision: Int = 14): Dataset[SketchUpdate] = {
     implicit val updEnc = Encoders.product[SketchUpdate]

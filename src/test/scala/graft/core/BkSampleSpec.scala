@@ -13,10 +13,11 @@ class BkSampleSpec extends AnyFunSuite {
     val s = BkSample.empty(50)
     keys(20).foreach(s.add)
     assert(s.size == 20)
-    val before = s.serialize()
+    val before = s.values.toSeq
     keys(20).foreach(s.add) // duplicates
     keys(20).reverse.foreach(s.add)
-    assert(java.util.Arrays.equals(s.serialize(), before))
+    assert(s.values.toSeq == before)
+    assert(s.totalAdds == 60) // sample unchanged, fold count honest
   }
 
   test("bitwise identical under any partitioning and merge order") {
@@ -26,10 +27,11 @@ class BkSampleSpec extends AnyFunSuite {
     val golden = serial.serialize()
     for (chunks <- Seq(7, 64)) {
       val parts = xs.grouped(xs.size / chunks + 1).map { c =>
-        val p = BkSample.empty(100); c.foreach(p.add); p
+        val p = BkSample.empty(100); c.foreach(p.add); p.serialize()
       }.toVector
       for (order <- Seq(parts, parts.reverse)) {
-        val merged = order.reduceLeft((a, b) => a.mergeInPlace(b))
+        val merged = order.map(BkSample.deserialize)
+          .reduceLeft((a, b) => a.mergeInPlace(b))
         assert(java.util.Arrays.equals(merged.serialize(), golden),
           s"chunks=$chunks not bitwise invariant")
       }

@@ -64,4 +64,55 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(math.abs(ests(1) - 1500L) <= 40, s"batch2 est=${ests(1)}")
     } finally query.stop()
   }
+
+  test("streamed bottom-k sample == batch build, bitwise (exact monoid)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val updates = StreamingSketch.bottomKPerGroup(input.toDS(), 15)
+    val query = updates.writeStream
+      .format("memory").queryName("bk_updates").outputMode("update").start()
+    try {
+      val batch1 = (0 until 400).map(i => (s"g${i % 3}", s"url$i"))
+      val batch2 = (400 until 900).map(i => (s"g${i % 3}", s"url$i"))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val latest = spark.table("bk_updates")
+        .groupBy($"group").agg(max(struct($"elementsAdded", $"sketch")).as("s"))
+        .select($"group", $"s.sketch").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val ref = (batch1 ++ batch2).toDF("group", "k")
+        .groupBy($"group").agg(graft.functions.bottomk_sample($"k", 15).as("sketch"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(latest.keySet == ref.keySet)
+      latest.foreach { case (g, blob) => assert(blob.toSeq == ref(g).toSeq, s"group $g not bitwise") }
+    } finally query.stop()
+  }
+
+  test("streamed Misra-Gries heavy hitters: bound holds over micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val updates = StreamingSketch.mgPerGroup(input.toDS(), 8)
+    val query = updates.writeStream
+      .format("memory").queryName("mg_updates").outputMode("update").start()
+    try {
+      // one group; hot key = 40% of rows, 200 cold keys force compress
+      def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+        ("g", if (i % 5 < 2) "hot" else s"cold${i % 200}")
+      }
+      input.addData(mk(0, 600): _*)
+      query.processAllAvailable()
+      input.addData(mk(600, 1500): _*)
+      query.processAllAvailable()
+      val blob = spark.table("mg_updates")
+        .orderBy($"elementsAdded".desc).head.getAs[Array[Byte]]("sketch")
+      val mg = graft.core.MgSketch.deserialize(blob)
+      assert(mg.totalCount == 1500L)
+      assert(mg.errorBound <= 1500L / 9)
+      val hotTrue = (0 until 1500).count(_ % 5 < 2)
+      assert(mg.estimate("hot") <= hotTrue && mg.estimate("hot") >= hotTrue - mg.errorBound)
+      assert(mg.topK(1).head == "hot")
+    } finally query.stop()
+  }
 }
