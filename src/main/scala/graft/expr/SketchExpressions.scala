@@ -674,3 +674,31 @@ case class BkValues(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): BkValues = copy(c)
 }
+
+/** `mg_entries(blob)` — every retained (key, cnt_lo, cnt_hi) of a
+  * Misra-Gries summary as an array of structs, count-desc/key-asc: the
+  * pure-SQL heavy-hitter read (`... LATERAL VIEW explode(mg_entries(m))`)
+  * with both bound ends materialized (`cnt_hi − cnt_lo` = the summary's
+  * decrement total).
+  */
+case class MgEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "mg_entries"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("cnt_lo", LongType, nullable = false),
+    StructField("cnt_hi", LongType, nullable = false))), containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any = {
+    val mg = MgSketch.deserialize(blob.asInstanceOf[Array[Byte]])
+    val delta = mg.errorBound
+    val rows: Array[Any] = mg.entries
+      .sortBy { case (k, lo) => (-lo, k) }
+      .map { case (k, lo) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(k), lo, lo + delta)
+      }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): MgEntries = copy(c)
+}

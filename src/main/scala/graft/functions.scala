@@ -141,6 +141,7 @@ object functions {
   def mg_error_bound(blob: Column): Column = col(MgErrorBound(ex(blob)))
   def mg_total_count(blob: Column): Column = col(MgTotalCount(ex(blob)))
   def mg_topk(blob: Column, j: Int): Column = col(MgTopK(ex(blob), Literal(j)))
+  def mg_entries(blob: Column): Column = col(MgEntries(ex(blob)))
   def bk_values(blob: Column): Column = col(BkValues(ex(blob)))
 
   // ----- text sketches (dedup / fingerprinting) -----
@@ -245,6 +246,7 @@ object functions {
     "mg_error_bound" -> ((es: Seq[Expression]) => MgErrorBound(es(0))),
     "mg_total_count" -> ((es: Seq[Expression]) => MgTotalCount(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), es(1))),
+    "mg_entries" -> ((es: Seq[Expression]) => MgEntries(es(0))),
     "kll_boundaries" -> ((es: Seq[Expression]) => KllBoundaries(es(0), es(1))),
     "bottomk_sample" -> ((es: Seq[Expression]) =>
       BkSampleAgg(es(0), if (es.length > 1) intLit(es(1), "k") else 100).toAggregateExpression()),

@@ -171,5 +171,19 @@ class MgSketchSpec extends AnyFunSuite {
       assert(est > 0 && est <= exact(key) && est >= exact(key) - mg.errorBound)
     }
     assert(mg.topK(3).toSet == Set("k0", "k1", "k2"))
+
+    // pure-SQL heavy-hitter read: explode(mg_entries(blob)) brackets exact
+    val rows = spark.range(1)
+      .select(explode(graft.functions.mg_entries(lit(blob))).as("e"))
+      .select(col("e.key"), col("e.cnt_lo"), col("e.cnt_hi"))
+      .collect()
+    assert(rows.length == mg.numCounters)
+    rows.foreach { r =>
+      val (key, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(hi - lo == mg.errorBound)
+      exact.get(key).foreach(t => assert(lo <= t && t <= hi))
+    }
+    // ordering: count desc, key asc
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
   }
 }
