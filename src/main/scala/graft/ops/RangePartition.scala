@@ -84,12 +84,15 @@ object RangePartition {
     */
   def occupancy(df: DataFrame, valueCol: String, bounds: Array[Double]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val n = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     val loFor = udfFreeBoundaryLookup(bounds, isLo = true)
     val hiFor = udfFreeBoundaryLookup(bounds, isLo = false)
+    // ONE scan of df: the total comes from a window-sum over the tiny
+    // per-bucket count table (at most |bounds|+1 rows), not a second pass
     df.select(bucketColumn(col(valueCol), bounds).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .withColumn("frac", col("cnt") / lit(n))
+      .withColumn("frac",
+        col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()).cast("double"))
       .withColumn("lo", loFor(col("bucket")))
       .withColumn("hi", hiFor(col("bucket")))
       .orderBy(col("bucket"))

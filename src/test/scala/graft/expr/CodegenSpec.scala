@@ -53,5 +53,23 @@ class CodegenSpec extends AnyFunSuite {
     assert(!CbfCount(e, e).isInstanceOf[CodegenFallback])
     assert(!HllEstimate(e).isInstanceOf[CodegenFallback])
     assert(!BloomMightContain(e, e).isInstanceOf[CodegenFallback])
+    assert(!MgEstimate(e, e).isInstanceOf[CodegenFallback])
+    assert(!RangeBucket(e, Array(1.0)).isInstanceOf[CodegenFallback])
+  }
+
+  test("mg_estimate filter and range_bucket select stay inside WholeStageCodegen") {
+    val keys = (0 until 400).map(i => s"k${i % 9}").toDF("k")
+    val blob = keys.agg(mg_sketch(col("k"), 16)).head.getAs[Array[Byte]](0)
+    val probed = spark.range(50).select(concat(lit("k"), col("id") % 9).as("k"))
+      .filter(mg_estimate(lit(blob), col("k")) > 0L)
+    val plan = codegenPlanOf(probed)
+    assert(plan.contains("*("), s"no codegen stage:\n$plan")
+    assert(probed.count() == 50)
+
+    val bucketed = spark.range(1000)
+      .select(graft.ops.RangePartition.bucketColumn(col("id"), Array(250.0, 500.0, 750.0)).as("b"))
+    val plan2 = codegenPlanOf(bucketed)
+    assert(plan2.contains("*("), s"no codegen stage:\n$plan2")
+    assert(bucketed.groupBy("b").count().count() == 4)
   }
 }
