@@ -145,6 +145,51 @@ class PropertiesSpec extends AnyFunSuite {
         qs.head >= xs.min && qs.last <= xs.max
     })
   }
+
+  // ---------------- Misra-Gries (round 3) ----------------
+
+  test("mg: bound holds for arbitrary streams, capacities and splits") {
+    val streamGen = for {
+      keys <- keysGen
+      reps <- Gen.listOfN(keys.length, Gen.choose(1, 30))
+    } yield keys.zip(reps).flatMap { case (k, r) => List.fill(r)(k) }
+    check(Prop.forAll(streamGen, Gen.choose(1, 40), Gen.choose(1, 7)) { (xs, k, chunks) =>
+      val parts = xs.grouped(math.max(1, xs.size / chunks)).map { c =>
+        val m = MgSketch.empty(k); c.foreach(m.add(_)); m
+      }.toList
+      val mg = parts.reduceLeft((a, b) => a.mergeInPlace(b))
+      val exact = xs.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      mg.totalCount == xs.size.toLong &&
+        mg.numCounters <= k &&
+        mg.errorBound <= mg.totalCount / (k + 1) &&
+        exact.forall { case (key, t) =>
+          val e = mg.estimate(key); e <= t && e >= t - mg.errorBound
+        }
+    })
+  }
+
+  test("mg: serde round-trip preserves every estimate and the bound") {
+    check(Prop.forAll(keysGen, Gen.choose(1, 20)) { (xs, k) =>
+      val m = MgSketch.empty(k); xs.foreach(m.add(_))
+      val back = MgSketch.deserialize(m.serialize())
+      back.totalCount == m.totalCount && back.errorBound == m.errorBound &&
+        back.entries.toSeq == m.entries.toSeq
+    })
+  }
+
+  // ---------------- bottom-k sample (round 3) ----------------
+
+  test("bk: partition/merge-order invariance is bitwise, for all inputs") {
+    check(Prop.forAll(keysGen, Gen.choose(1, 25), Gen.choose(1, 6)) { (xs, k, chunks) =>
+      val serial = BkSample.empty(k); xs.foreach(serial.add)
+      val golden = serial.serialize().toSeq
+      val parts = xs.grouped(math.max(1, xs.size / chunks))
+        .map { c => val b = BkSample.empty(k); c.foreach(b.add); b.serialize() }.toList
+      def fold(ps: List[Array[Byte]]) =
+        ps.map(BkSample.deserialize).reduceLeft((a, b) => a.mergeInPlace(b)).serialize().toSeq
+      fold(parts) == golden && fold(parts.reverse) == golden
+    })
+  }
 }
 
 /** Pluggable-hasher seam (bloom.h:42,54; swap = bloom.c:89-91): a custom
