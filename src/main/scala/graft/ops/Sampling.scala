@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.functions.{bk_values, bottomk_sample}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audit sampling built on the bottom-k-by-hash sample
+  * ([[graft.core.BkSample]]): "show me k example rows (per group)" as a
+  * deterministic, mergeable, one-pass-plus-semi-join operator.
+  *
+  * Scale shape: pass 1 aggregates ids into one tiny blob per group (the
+  * only shuffle is blobs); the sampled id set (≤ k·groups strings) then
+  * drives a broadcast LEFT SEMI join that pulls the full rows — the big
+  * table is scanned, never shuffled. Determinism: the same input multiset
+  * yields the same sample at any parallelism, so audits are reproducible
+  * across reruns and cluster sizes.
+  */
+object Sampling {
+
+  /** ~`k` uniformly-sampled full rows per distinct value of `groupCol`
+    * (or exactly min(k, distinct ids) ids' worth of rows; rows whose id
+    * appears multiple times all return — sample by id, not by row).
+    */
+  def exampleRows(df: DataFrame, idCol: String, k: Int,
+                  groupCol: Option[String] = None): DataFrame = {
+    val id = col(idCol).cast("string").as("__graft_id")
+    val sampled = groupCol match {
+      case Some(g) =>
+        df.select(col(g).as("__graft_g"), id)
+          .groupBy(col("__graft_g"))
+          .agg(bk_values(bottomk_sample(col("__graft_id"), k)).as("__graft_vals"))
+      case None =>
+        df.select(id)
+          .agg(bk_values(bottomk_sample(col("__graft_id"), k)).as("__graft_vals"))
+    }
+    val ids = sampled.select(explode(col("__graft_vals")).as("__graft_id"))
+    df.join(broadcast(ids.distinct()),
+      col(idCol).cast("string") === col("__graft_id"), "left_semi")
+  }
+}
