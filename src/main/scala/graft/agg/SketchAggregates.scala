@@ -386,8 +386,12 @@ case class MgWeightedSketchAgg(
     val key = left.eval(input)
     val w = right.eval(input)
     if (key != null && w != null) {
+      // Non-positive weights are SKIPPED like nulls (policy, documented):
+      // Misra-Gries counters only support non-negative increments, and a
+      // single stray negative row must not abort a 10^12-row job at the
+      // executor. Rows a caller wants excluded should be filtered anyway.
       val weight = w.asInstanceOf[Number].longValue()
-      left.dataType match {
+      if (weight > 0) left.dataType match {
         case BinaryType => b.add(new String(key.asInstanceOf[Array[Byte]],
           java.nio.charset.StandardCharsets.UTF_8), weight)
         case _ => b.add(key.toString, weight)

@@ -119,6 +119,9 @@ object BkSample {
   private[core] def priority(key: String): Long =
     Fnv.splitmix64(Fnv.fnv1a(key.getBytes(UTF_8), 0))
 
+  /** Test hook: the sampling priority of a key (unsigned order decides). */
+  private[graft] def testPriority(key: String): Long = priority(key)
+
   def empty(k: Int): BkSample = {
     require(k >= 1, "k must be >= 1")
     new BkSample(k, new java.util.TreeSet[(Long, String)](ord), 0L)

@@ -153,6 +153,26 @@ object MgSketch {
     new MgSketch(k, new java.util.HashMap[String, java.lang.Long](k * 2), 0L, 0L)
   }
 
+  /** Header-only read of `totalCount` (fixed offset 8) — no entry
+    * materialization; the per-row path of `mg_total_count`.
+    */
+  def headerTotalCount(bytes: Array[Byte]): Long = {
+    checkMagic(bytes)
+    ByteBuffer.wrap(bytes, 8, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  /** Header-only read of the decrement total Δ (fixed offset 16). */
+  def headerErrorBound(bytes: Array[Byte]): Long = {
+    checkMagic(bytes)
+    ByteBuffer.wrap(bytes, 16, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  private def checkMagic(bytes: Array[Byte]): Unit = {
+    require(bytes.length >= 24, "truncated Misra-Gries blob")
+    val magic = ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(magic == Magic, f"not a Misra-Gries blob (magic 0x$magic%08x)")
+  }
+
   def deserialize(bytes: Array[Byte]): MgSketch = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt()

@@ -573,8 +573,10 @@ case class MgErrorBound(child: Expression)
   override def prettyName: String = "mg_error_bound"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  // header-only read (fixed offset): q42/q45 evaluate this per OUTPUT row
+  // against a literal blob — never materialize the k entries here
   override def nullSafeEval(blob: Any): Any =
-    MgSketch.deserialize(blob.asInstanceOf[Array[Byte]]).errorBound
+    MgSketch.headerErrorBound(blob.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): MgErrorBound = copy(c)
 }
 
@@ -584,8 +586,9 @@ case class MgTotalCount(child: Expression)
   override def prettyName: String = "mg_total_count"
   override def dataType: DataType = LongType
   override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  // header-only read — same rationale as MgErrorBound
   override def nullSafeEval(blob: Any): Any =
-    MgSketch.deserialize(blob.asInstanceOf[Array[Byte]]).totalCount
+    MgSketch.headerTotalCount(blob.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): MgTotalCount = copy(c)
 }
 

@@ -58,10 +58,18 @@ object RangePartition {
   }
 
   /** `range_bucket(col, bounds)` — codegen'd bucket id in `[0, |bounds|]`:
-    * the count of boundaries <= value (binary search per row).
+    * the count of boundaries <= value (binary search per row). NaN maps to
+    * NULL (like null input): `Arrays.binarySearch` orders NaN above +Inf,
+    * which would silently pile NaN rows into the top bucket and skew
+    * occupancy/repartition — invalid measurements are surfaced as a NULL
+    * bucket instead, for the caller to route or drop explicitly.
     */
-  def bucketColumn(c: Column, bounds: Array[Double]): Column =
-    GraftSqlBridge.column(RangeBucket(GraftSqlBridge.expression(c.cast("double")), bounds))
+  def bucketColumn(c: Column, bounds: Array[Double]): Column = {
+    import org.apache.spark.sql.functions.{isnan, lit, when}
+    val d = c.cast("double")
+    when(isnan(d), lit(null).cast("int")).otherwise(
+      GraftSqlBridge.column(RangeBucket(GraftSqlBridge.expression(d), bounds)))
+  }
 
   /** One-shuffle equi-depth repartition: rows are exchanged on their
     * bucket id. With `numBuckets` a few times the shuffle-partition count,

@@ -20,21 +20,33 @@ object Sampling {
   /** ~`k` uniformly-sampled full rows per distinct value of `groupCol`
     * (or exactly min(k, distinct ids) ids' worth of rows; rows whose id
     * appears multiple times all return — sample by id, not by row).
+    *
+    * The per-group semi-join is keyed on BOTH (group, id): an id value
+    * shared by several groups is an independent sampling decision in each
+    * group, and only the (group, id) combinations actually sampled pull
+    * their rows — never "sampled anywhere → returned everywhere".
+    * The group key joins null-safely, so a NULL group samples like any
+    * other group.
     */
   def exampleRows(df: DataFrame, idCol: String, k: Int,
                   groupCol: Option[String] = None): DataFrame = {
     val id = col(idCol).cast("string").as("__graft_id")
-    val sampled = groupCol match {
+    groupCol match {
       case Some(g) =>
-        df.select(col(g).as("__graft_g"), id)
+        val sampled = df.select(col(g).as("__graft_g"), id)
           .groupBy(col("__graft_g"))
           .agg(bk_values(bottomk_sample(col("__graft_id"), k)).as("__graft_vals"))
+        val ids = sampled.select(col("__graft_g"),
+          explode(col("__graft_vals")).as("__graft_id"))
+        df.join(broadcast(ids.distinct()),
+          col(idCol).cast("string") === col("__graft_id") &&
+            df(g) <=> col("__graft_g"), "left_semi")
       case None =>
-        df.select(id)
+        val sampled = df.select(id)
           .agg(bk_values(bottomk_sample(col("__graft_id"), k)).as("__graft_vals"))
+        val ids = sampled.select(explode(col("__graft_vals")).as("__graft_id"))
+        df.join(broadcast(ids.distinct()),
+          col(idCol).cast("string") === col("__graft_id"), "left_semi")
     }
-    val ids = sampled.select(explode(col("__graft_vals")).as("__graft_id"))
-    df.join(broadcast(ids.distinct()),
-      col(idCol).cast("string") === col("__graft_id"), "left_semi")
   }
 }

@@ -158,4 +158,16 @@ class SketchAggSpec extends AnyFunSuite {
     val r = spark.range(1).select(fnv1a_hash(lit("foo"), 0).as("h")).head
     assert(r.getAs[Long]("h") == java.lang.Long.parseUnsignedLong("15902901984413996407"))
   }
+
+  test("mg_sketch_weighted: non-positive weights are skipped, never abort") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("a", -3L), ("b", 0L), ("b", 2L), ("c", -1L))
+      .toDF("k", "w")
+    val blob = df.agg(mg_sketch_weighted(col("k"), col("w"), 8))
+      .head.getAs[Array[Byte]](0)
+    val mg = graft.core.MgSketch.deserialize(blob)
+    // only the positive-weight rows count: a=5, b=2, c absent
+    assert(mg.totalCount == 7L)
+    assert(mg.estimate("a") == 5L && mg.estimate("b") == 2L && mg.estimate("c") == 0L)
+  }
 }

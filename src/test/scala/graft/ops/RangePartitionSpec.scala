@@ -79,6 +79,15 @@ class RangePartitionSpec extends AnyFunSuite {
     assert(!out.columns.contains("__graft_bucket"))
   }
 
+  test("NaN buckets to NULL, never the top bucket; nulls stay null") {
+    import spark.implicits._
+    val bounds = Array(10.0, 20.0)
+    val df = Seq(Some(5.0), Some(Double.NaN), Some(25.0), None).toDF("v")
+    val got = df.select(RangePartition.bucketColumn(col("v"), bounds).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(got == Seq(0, -1, 2, -1), got.toString)
+  }
+
   test("SQL surface: kll_boundaries over a maintained sketch blob") {
     import spark.implicits._
     graft.functions.register(spark)

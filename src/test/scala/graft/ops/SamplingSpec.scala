@@ -32,4 +32,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(perGroup.values.forall(_ == 50), perGroup.toString)
     assert(perGroup.keySet == Set("0", "1", "2"))
   }
+
+  test("exampleRows per group: an id spanning groups only returns where sampled") {
+    // OVERLAPPING per-group id domains: group a holds ids 0..39, group b
+    // ids 20..59 — ids 20..39 exist in BOTH groups. The contract is that
+    // an id sampled for one group must NOT drag its rows out of the other
+    // group (the sample is a per-(group, id) decision).
+    val aIds = (0L until 40L).toSeq
+    val bIds = (20L until 60L).toSeq
+    val df = (aIds.map(("a", _)) ++ bIds.map(("b", _))).toDF("g", "id")
+    // expected per-group sample straight from the core sampler
+    def bottom(ids: Seq[Long], k: Int): Set[Long] = // unsigned-priority order
+      ids.sortBy(i => (graft.core.BkSample.testPriority(i.toString) ^ Long.MinValue, i))
+        .take(k).toSet
+    val expected = bottom(aIds, 5).map(("a", _)) ++ bottom(bIds, 5).map(("b", _))
+    // the generator must actually arm the trap: some id sampled in exactly
+    // one group while present in both (otherwise this test proves nothing)
+    val aOnly = bottom(aIds, 5) -- bottom(bIds, 5)
+    val bOnly = bottom(bIds, 5) -- bottom(aIds, 5)
+    assert((aOnly.exists(_ >= 20) || bOnly.exists(_ < 40)),
+      "test generator ineffective: no cross-group id is single-sampled")
+    val got = Sampling.exampleRows(df, "id", 5, Some("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
