@@ -285,8 +285,11 @@ case class KllSketchAgg(
   * shuffle. Guarantee: every key with frequency > totalCount/(k+1) is
   * retained, with `true - errorBound <= estimate <= true`.
   *
-  * Keys are canonicalized to their string form (the same UTF-8 identity
-  * the hash-based sketches use — see `SketchAgg.keyBytes`).
+  * Keys enter by their RAW BYTES (strings as UTF-8, binary verbatim,
+  * numerics via their canonical string form — the same identity contract
+  * as the hash-based sketches, `SketchAgg.keyBytes`): no per-row `String`
+  * materialization in the hot loop, and distinct binary keys never
+  * collapse through a lossy charset decode.
   */
 case class MgSketchAgg(
     child: Expression,
@@ -301,12 +304,8 @@ case class MgSketchAgg(
   override def createAggregationBuffer(): MgSketch = MgSketch.empty(k)
 
   override def update(b: MgSketch, input: InternalRow): MgSketch = {
-    val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case BinaryType => b.add(new String(v.asInstanceOf[Array[Byte]],
-        java.nio.charset.StandardCharsets.UTF_8))
-      case _ => b.add(v.toString) // UTF8String / numeric / date-time
-    }
+    val kb = keyBytes(input)
+    if (kb != null) b.add(kb)
     b
   }
 
@@ -339,12 +338,8 @@ case class BkSampleAgg(
   override def createAggregationBuffer(): BkSample = BkSample.empty(k)
 
   override def update(b: BkSample, input: InternalRow): BkSample = {
-    val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case BinaryType => b.add(new String(v.asInstanceOf[Array[Byte]],
-        java.nio.charset.StandardCharsets.UTF_8))
-      case _ => b.add(v.toString)
-    }
+    val kb = keyBytes(input)
+    if (kb != null) b.add(kb)
     b
   }
 
@@ -391,10 +386,13 @@ case class MgWeightedSketchAgg(
       // single stray negative row must not abort a 10^12-row job at the
       // executor. Rows a caller wants excluded should be filtered anyway.
       val weight = w.asInstanceOf[Number].longValue()
-      if (weight > 0) left.dataType match {
-        case BinaryType => b.add(new String(key.asInstanceOf[Array[Byte]],
-          java.nio.charset.StandardCharsets.UTF_8), weight)
-        case _ => b.add(key.toString, weight)
+      if (weight > 0) {
+        val kb = left.dataType match {
+          case StringType => key.asInstanceOf[UTF8String].getBytes
+          case BinaryType => key.asInstanceOf[Array[Byte]]
+          case _ => UTF8String.fromString(key.toString).getBytes
+        }
+        b.add(kb, weight)
       }
     }
     b

@@ -22,19 +22,25 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   - **pipeline use**: "give me ~k random example documents per group,
   *     one pass, mergeable across days" — the audit-sample operator.
   *
+  * Keys are RAW BYTES (strings enter as UTF-8 — the library identity
+  * contract): two distinct binary keys are distinct sample members even
+  * when both are invalid UTF-8, and the hot loop never materializes a
+  * `String` per row. [[values]] decodes via UTF-8 for display (lossless
+  * for string-sourced keys).
+  *
   * Ties: priority collisions between distinct keys (~2^-64) break on the
-  * key bytes, keeping determinism unconditional.
+  * key bytes (unsigned lexicographic), keeping determinism unconditional.
   *
   * Serialization (LE, magic-versioned): magic, k, totalAdds, numEntries,
-  * then entries in (priority, key) order: priority u64, keyLen, utf8
+  * then entries in (priority, key) order: priority u64, keyLen, key
   * bytes. `totalAdds` (rows folded, duplicates included) is additive
   * across merges, so blob identity still only depends on the input
   * multiset, never on partitioning.
   */
 final class BkSample private (
     val k: Int,
-    // (unsigned priority, key) ordered set, size <= k
-    private val entries0: java.util.TreeSet[(Long, String)],
+    // (unsigned priority, key bytes) ordered set, size <= k
+    private val entries0: java.util.TreeSet[(Long, Array[Byte])],
     private var _adds: Long
 ) extends Serializable {
 
@@ -45,26 +51,30 @@ final class BkSample private (
     */
   def totalAdds: Long = _adds
 
-  def add(key: String): Unit = {
+  def add(key: String): Unit = add(key.getBytes(UTF_8))
+
+  def add(key: Array[Byte]): Unit = {
     _adds += 1
     val p = BkSample.priority(key)
-    val e = (p, key)
-    if (entries0.size < k) { entries0.add(e); () }
+    // defensive copy ON ADMISSION ONLY (rare after warmup): the caller's
+    // array may be a shared/reused buffer, and the sample OWNS its keys
+    if (entries0.size < k) { entries0.add((p, key.clone())); () }
     else {
+      val e = (p, key)
       val last = entries0.last()
       if (BkSample.ord.compare(e, last) < 0 && !entries0.contains(e)) {
-        entries0.add(e)
+        entries0.add((p, key.clone()))
         if (entries0.size > k) entries0.remove(entries0.last())
       }
     }
   }
 
-  /** Sampled keys in priority order (deterministic). */
+  /** Sampled keys in priority order (deterministic), UTF-8 decoded. */
   def values: Array[String] = {
     val out = new Array[String](entries0.size)
     val it = entries0.iterator()
     var i = 0
-    while (it.hasNext) { out(i) = it.next()._2; i += 1 }
+    while (it.hasNext) { out(i) = new String(it.next()._2, UTF_8); i += 1 }
     out
   }
 
@@ -83,10 +93,9 @@ final class BkSample private (
   }
 
   def serialize(): Array[Byte] = {
-    val vs = new Array[(Long, String)](entries0.size)
+    val vs = new Array[(Long, Array[Byte])](entries0.size)
     entries0.toArray(vs.asInstanceOf[Array[Object]])
-    val keyBytes = vs.map(_._2.getBytes(UTF_8))
-    val size = 4 + 4 + 8 + 4 + keyBytes.map(_.length + 12).sum
+    val size = 4 + 4 + 8 + 4 + vs.map(_._2.length + 12).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(BkSample.Magic)
     bb.putInt(k)
@@ -95,8 +104,8 @@ final class BkSample private (
     var i = 0
     while (i < vs.length) {
       bb.putLong(vs(i)._1)
-      bb.putInt(keyBytes(i).length)
-      bb.put(keyBytes(i))
+      bb.putInt(vs(i)._2.length)
+      bb.put(vs(i)._2)
       i += 1
     }
     bb.array()
@@ -107,24 +116,24 @@ object BkSample {
   /** 'B''K' + format version 1. */
   private[core] val Magic: Int = 0x424b0001
 
-  /** Unsigned-first ordering on (priority, key). */
-  private[core] val ord: java.util.Comparator[(Long, String)] =
-    new java.util.Comparator[(Long, String)] with Serializable {
-      override def compare(a: (Long, String), b: (Long, String)): Int = {
+  /** Unsigned-first ordering on (priority, key bytes). */
+  private[core] val ord: java.util.Comparator[(Long, Array[Byte])] =
+    new java.util.Comparator[(Long, Array[Byte])] with Serializable {
+      override def compare(a: (Long, Array[Byte]), b: (Long, Array[Byte])): Int = {
         val c = java.lang.Long.compareUnsigned(a._1, b._1)
-        if (c != 0) c else a._2.compareTo(b._2)
+        if (c != 0) c else MgSketch.byteOrder.compare(a._2, b._2)
       }
     }
 
-  private[core] def priority(key: String): Long =
-    Fnv.splitmix64(Fnv.fnv1a(key.getBytes(UTF_8), 0))
+  private[core] def priority(key: Array[Byte]): Long =
+    Fnv.splitmix64(Fnv.fnv1a(key, 0))
 
   /** Test hook: the sampling priority of a key (unsigned order decides). */
-  private[graft] def testPriority(key: String): Long = priority(key)
+  private[graft] def testPriority(key: String): Long = priority(key.getBytes(UTF_8))
 
   def empty(k: Int): BkSample = {
     require(k >= 1, "k must be >= 1")
-    new BkSample(k, new java.util.TreeSet[(Long, String)](ord), 0L)
+    new BkSample(k, new java.util.TreeSet[(Long, Array[Byte])](ord), 0L)
   }
 
   def deserialize(bytes: Array[Byte]): BkSample = {
@@ -134,14 +143,14 @@ object BkSample {
     val k = bb.getInt()
     val adds = bb.getLong()
     val n = bb.getInt()
-    val s = new java.util.TreeSet[(Long, String)](ord)
+    val s = new java.util.TreeSet[(Long, Array[Byte])](ord)
     var i = 0
     while (i < n) {
       val p = bb.getLong()
       val len = bb.getInt()
       val kb = new Array[Byte](len)
       bb.get(kb)
-      s.add((p, new String(kb, UTF_8)))
+      s.add((p, kb))
       i += 1
     }
     new BkSample(k, s, adds)

@@ -28,14 +28,30 @@ import java.nio.charset.StandardCharsets.UTF_8
   * keys below the bound, as published — callers get order-invariant
   * answers for every key above the bound).
   *
+  * Store: an open-addressed linear-probe table of RAW KEY BYTES and
+  * primitive counts — the UDAF hot loop ([[graft.agg.MgSketchAgg]])
+  * upserts without boxing a `java.lang.Long` or materializing a `String`
+  * per row, and BINARY keys are counted by their exact bytes (two
+  * distinct non-UTF8 byte strings never collapse, unlike a
+  * lossy-decoding String map). String keys enter as their UTF-8 bytes —
+  * the same identity contract as the hash-based sketches
+  * ([[graft.core.Fnv]]). `entries`/`topK` decode keys back via UTF-8 for
+  * display (lossless for any key that entered as a string; a non-UTF8
+  * binary key's *display form* is lossy but its counting never is).
+  *
   * Serialization (LE, versioned like CMS `CmsSketch` blobs): magic,
-  * k, totalCount, delta, numEntries, then entries sorted by key
-  * (deterministic blob for a given counter state): keyLen, utf8 bytes,
-  * count.
+  * k, totalCount, delta, numEntries, then entries sorted by unsigned
+  * byte-lexicographic key order (deterministic blob for a given counter
+  * state; identical to the previous String-order blobs for ASCII keys):
+  * keyLen, key bytes, count.
   */
 final class MgSketch private (
     val k: Int,
-    private val counters: java.util.HashMap[String, java.lang.Long],
+    // open-addressed linear-probe table: null slot = empty
+    private var tkeys: Array[Array[Byte]],
+    private var tcounts: Array[Long],
+    private var mask: Int,
+    private var _size: Int,
     private var _totalCount: Long,
     private var _delta: Long
 ) extends Serializable {
@@ -45,99 +61,158 @@ final class MgSketch private (
   /** Total decrement applied — the per-key underestimate bound. */
   def errorBound: Long = _delta
 
-  def numCounters: Int = counters.size
+  def numCounters: Int = _size
 
-  def add(key: String, weight: Long = 1L): Unit = {
+  private def hashOf(key: Array[Byte]): Int = {
+    val h = Fnv.splitmix64(Fnv.fnv1a(key, 0))
+    (h ^ (h >>> 32)).toInt
+  }
+
+  /** Slot of `key`, or the empty slot where it would insert. */
+  private def slotOf(key: Array[Byte]): Int = {
+    var i = hashOf(key) & mask
+    while (tkeys(i) != null && !java.util.Arrays.equals(tkeys(i), key))
+      i = (i + 1) & mask
+    i
+  }
+
+  def add(key: String, weight: Long = 1L): Unit = add(key.getBytes(UTF_8), weight)
+
+  def add(key: Array[Byte], weight: Long): Unit = {
     require(weight >= 0, "negative weights not supported")
     if (weight == 0) return
-    val cur = counters.get(key)
-    if (cur != null) counters.put(key, java.lang.Long.valueOf(cur.longValue() + weight))
+    val i = slotOf(key)
+    if (tkeys(i) != null) tcounts(i) += weight
     else {
-      counters.put(key, java.lang.Long.valueOf(weight))
-      if (counters.size > k) compress()
+      // defensive copy ON INSERT ONLY (not per row): the caller's array
+      // may be a shared/reused buffer (UTF8String.getBytes can return its
+      // backing array), and the table OWNS its keys
+      tkeys(i) = key.clone()
+      tcounts(i) = weight
+      _size += 1
+      if (_size > k) compress()
     }
     _totalCount += weight
   }
 
+  def add(key: Array[Byte]): Unit = add(key, 1L)
+
   /** Subtract the (k+1)-th largest count from every counter and drop the
     * non-positive, restoring `size <= k`. Each unit subtracted here is
     * matched by >= k other units subtracted in the same step, which is
-    * what keeps `delta <= n / (k + 1)`.
+    * what keeps `delta <= n / (k + 1)`. Rare (at most once per k distinct
+    * arrivals), so the rebuild below is off the hot path.
     */
   private def compress(): Unit = {
-    val m = counters.size
+    val m = _size
     val vals = new Array[Long](m)
-    val it = counters.values.iterator()
     var i = 0
-    while (it.hasNext) { vals(i) = it.next().longValue(); i += 1 }
+    var j = 0
+    while (i < tkeys.length) {
+      if (tkeys(i) != null) { vals(j) = tcounts(i); j += 1 }
+      i += 1
+    }
     java.util.Arrays.sort(vals)
     val d = vals(m - (k + 1)) // (k+1)-th largest
-    val entries = counters.entrySet().iterator()
-    while (entries.hasNext) {
-      val e = entries.next()
-      val nv = e.getValue.longValue() - d
-      if (nv <= 0) entries.remove() else e.setValue(java.lang.Long.valueOf(nv))
+    // rebuild (open addressing cannot tombstone-free delete in place)
+    val ok = tkeys
+    val oc = tcounts
+    tkeys = new Array[Array[Byte]](ok.length)
+    tcounts = new Array[Long](ok.length)
+    _size = 0
+    i = 0
+    while (i < ok.length) {
+      if (ok(i) != null && oc(i) > d) {
+        val s = slotOf(ok(i))
+        tkeys(s) = ok(i)
+        tcounts(s) = oc(i) - d
+        _size += 1
+      }
+      i += 1
     }
     _delta += d
   }
 
   /** Lower-bound frequency estimate: `true - errorBound <= est <= true`. */
-  def estimate(key: String): Long = {
-    val v = counters.get(key)
-    if (v == null) 0L else v.longValue()
+  def estimate(key: Array[Byte]): Long = {
+    val i = slotOf(key)
+    if (tkeys(i) == null) 0L else tcounts(i)
   }
+
+  def estimate(key: String): Long = estimate(key.getBytes(UTF_8))
 
   /** Top-`j` retained keys, ordered by (count desc, key asc). */
   def topK(j: Int): Array[String] = {
-    val entries = new java.util.ArrayList(counters.entrySet())
-    entries.sort { (a: java.util.Map.Entry[String, java.lang.Long], b: java.util.Map.Entry[String, java.lang.Long]) =>
-      val c = java.lang.Long.compare(b.getValue.longValue(), a.getValue.longValue())
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
-    }
-    val n = math.min(j, entries.size)
-    val out = new Array[String](n)
-    var i = 0
-    while (i < n) { out(i) = entries.get(i).getKey; i += 1 }
-    out
+    val es = entries
+    java.util.Arrays.sort(es, new java.util.Comparator[(String, Long)] {
+      override def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c else a._1.compareTo(b._1)
+      }
+    })
+    es.take(math.min(j, es.length)).map(_._1)
   }
 
   /** All retained (key, lower-bound count) pairs, key-sorted. */
   def entries: Array[(String, Long)] = {
-    val ks = counters.keySet().toArray(new Array[String](0))
-    java.util.Arrays.sort(ks.asInstanceOf[Array[Object]])
-    ks.map(key => (key, counters.get(key).longValue()))
+    val out = new Array[(String, Long)](_size)
+    var i = 0
+    var j = 0
+    while (i < tkeys.length) {
+      if (tkeys(i) != null) { out(j) = (new String(tkeys(i), UTF_8), tcounts(i)); j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out, new java.util.Comparator[(String, Long)] {
+      override def compare(a: (String, Long), b: (String, Long)): Int = a._1.compareTo(b._1)
+    })
+    out
   }
 
   def mergeInPlace(other: MgSketch): MgSketch = {
     require(k == other.k, s"incompatible Misra-Gries capacities: $k vs ${other.k}")
-    val it = other.counters.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = counters.get(e.getKey)
-      counters.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur.longValue() + e.getValue.longValue()))
+    // upsert the other's counters WITHOUT per-insert compression: the
+    // table is sized for the transient 2k occupancy, and PODS 2012's
+    // merge is one combined compress step at the end
+    var i = 0
+    while (i < other.tkeys.length) {
+      if (other.tkeys(i) != null) {
+        val s = slotOf(other.tkeys(i))
+        if (tkeys(s) != null) tcounts(s) += other.tcounts(i)
+        else {
+          tkeys(s) = other.tkeys(i)
+          tcounts(s) = other.tcounts(i)
+          _size += 1
+        }
+      }
+      i += 1
     }
     _totalCount += other._totalCount
     _delta += other._delta
-    if (counters.size > k) compress()
+    if (_size > k) compress()
     this
   }
 
   def serialize(): Array[Byte] = {
-    val ks = counters.keySet().toArray(new Array[String](0))
-    java.util.Arrays.sort(ks.asInstanceOf[Array[Object]])
-    val keyBytes = ks.map(_.getBytes(UTF_8))
-    val size = 4 + 4 + 8 + 8 + 4 + keyBytes.map(_.length + 12).sum
+    val ks = new Array[Array[Byte]](_size)
+    var i = 0
+    var j = 0
+    while (i < tkeys.length) {
+      if (tkeys(i) != null) { ks(j) = tkeys(i); j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(ks, MgSketch.byteOrder)
+    val size = 4 + 4 + 8 + 8 + 4 + ks.map(_.length + 12).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(MgSketch.Magic)
     bb.putInt(k)
     bb.putLong(_totalCount)
     bb.putLong(_delta)
     bb.putInt(ks.length)
-    var i = 0
+    i = 0
     while (i < ks.length) {
-      bb.putInt(keyBytes(i).length)
-      bb.put(keyBytes(i))
-      bb.putLong(counters.get(ks(i)).longValue())
+      bb.putInt(ks(i).length)
+      bb.put(ks(i))
+      bb.putLong(tcounts(slotOf(ks(i))))
       i += 1
     }
     bb.array()
@@ -148,9 +223,34 @@ object MgSketch {
   /** 'M''G' + format version 1. */
   private[core] val Magic: Int = 0x4d470001
 
+  /** Unsigned byte-lexicographic key order (blob determinism). */
+  private[core] val byteOrder: java.util.Comparator[Array[Byte]] =
+    new java.util.Comparator[Array[Byte]] with Serializable {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
+  /** Table capacity: pow2 ≥ 4·(k+1), so load stays ≤ ~0.5 even at the
+    * transient 2k occupancy inside a merge.
+    */
+  private def capacityFor(k: Int): Int = {
+    var c = 8
+    while (c < 4 * (k + 1)) c <<= 1
+    c
+  }
+
   def empty(k: Int): MgSketch = {
     require(k >= 1, "k must be >= 1")
-    new MgSketch(k, new java.util.HashMap[String, java.lang.Long](k * 2), 0L, 0L)
+    val cap = capacityFor(k)
+    new MgSketch(k, new Array[Array[Byte]](cap), new Array[Long](cap), cap - 1, 0, 0L, 0L)
   }
 
   /** Header-only read of `totalCount` (fixed offset 8) — no entry
@@ -181,15 +281,23 @@ object MgSketch {
     val total = bb.getLong()
     val delta = bb.getLong()
     val n = bb.getInt()
-    val m = new java.util.HashMap[String, java.lang.Long](k * 2)
+    val s = empty(k)
     var i = 0
     while (i < n) {
       val len = bb.getInt()
       val kb = new Array[Byte](len)
       bb.get(kb)
-      m.put(new String(kb, UTF_8), java.lang.Long.valueOf(bb.getLong()))
+      val c = bb.getLong()
+      // direct table insert — counts are already final (no compress or
+      // totalCount bump); the companion reaches the private table
+      val slot = s.slotOf(kb)
+      s.tkeys(slot) = kb
+      s.tcounts(slot) = c
+      s._size += 1
       i += 1
     }
-    new MgSketch(k, m, total, delta)
+    s._totalCount = total
+    s._delta = delta
+    s
   }
 }

@@ -551,11 +551,15 @@ case class MgEstimate(left: Expression, right: Expression)
   @transient private lazy val cache = new SketchCache[MgSketch]
   override def prettyName: String = "mg_estimate"
   override def dataType: DataType = LongType
-  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.string)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary, GraftTypeCheck.stringOrBinary)
   def probe(blob: Array[Byte], key: UTF8String): Long =
-    cache.get(blob, MgSketch.deserialize).estimate(key.toString)
-  override def nullSafeEval(blob: Any, key: Any): Any =
-    probe(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])
+    cache.get(blob, MgSketch.deserialize).estimate(key.getBytes)
+  def probe(blob: Array[Byte], key: Array[Byte]): Long =
+    cache.get(blob, MgSketch.deserialize).estimate(key)
+  override def nullSafeEval(blob: Any, key: Any): Any = right.dataType match {
+    case StringType => probe(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])
+    case BinaryType => probe(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("mge", this, classOf[MgEstimate].getName)
     nullSafeCodeGen(ctx, ev, (b, k) => s"${ev.value} = $self.probe($b, $k);")

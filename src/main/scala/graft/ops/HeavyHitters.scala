@@ -80,7 +80,8 @@ object HeavyHitters {
     require(k >= math.ceil(1 / phi),
       s"k=$k cannot guarantee phi=$phi heavy hitters: need k >= ceil(1/phi)=${math.ceil(1 / phi).toInt}")
     val spark = df.sparkSession
-    val blob = df.agg(mg_sketch(col(keyCol).cast("string"), k))
+    // no cast: the aggregate's byte path canonicalizes any hashable type
+    val blob = df.agg(mg_sketch(col(keyCol), k))
       .head.getAs[Array[Byte]](0)
     val mg = graft.core.MgSketch.deserialize(blob)
     val thresh = phi * mg.totalCount

@@ -47,7 +47,7 @@ class BkSampleSpec extends AnyFunSuite {
     xs.foreach(s.add)
     val sampled = s.values.toSet
     assert(sampled.size == 1000)
-    val expected = xs.sortBy(k => (BkSample.priority(k), k))(
+    val expected = xs.sortBy(k => (BkSample.testPriority(k), k))(
       Ordering.Tuple2(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0), Ordering.String))
       .take(1000).toSet
     assert(sampled == expected)

@@ -186,4 +186,55 @@ class MgSketchSpec extends AnyFunSuite {
     // ordering: count desc, key asc
     assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
   }
+
+  test("numeric keys need no cast; blob identical to the string-key build") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.mg_sketch
+    val df = spark.range(10000).select((col("id") % 50).as("key"))
+    val numBlob = df.agg(mg_sketch(col("key"), 64)).head.getAs[Array[Byte]](0)
+    val strBlob = df.select(col("key").cast("string").as("key"))
+      .agg(mg_sketch(col("key"), 64)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(numBlob, strBlob),
+      "numeric keys must canonicalize to the same blob as their string form")
+    val mg = MgSketch.deserialize(numBlob)
+    assert(mg.totalCount == 10000L && mg.estimate("7") == 200L)
+  }
+
+  test("binary keys count by raw bytes: invalid-UTF8 keys never collapse") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.{mg_estimate, mg_sketch}
+    import spark.implicits._
+    // 0xFF and 0xFE both lossy-decode to U+FFFD; raw-byte counting must
+    // keep them distinct (3 vs 2), and the probe must see the same bytes
+    val rows = Seq.fill(3)(Array(0xff.toByte)) ++ Seq.fill(2)(Array(0xfe.toByte))
+    val df = rows.toDF("key")
+    val blob = df.agg(mg_sketch(col("key"), 8)).head.getAs[Array[Byte]](0)
+    val mg = MgSketch.deserialize(blob)
+    assert(mg.totalCount == 5L && mg.numCounters == 2)
+    assert(mg.estimate(Array(0xff.toByte)) == 3L)
+    assert(mg.estimate(Array(0xfe.toByte)) == 2L)
+    // binary probe via the expression surface
+    val got = spark.range(1)
+      .select(mg_estimate(lit(blob), lit(Array(0xff.toByte))).as("e")).head
+    assert(got.getAs[Long]("e") == 3L)
+  }
+
+  test("bottom-k sample: binary keys stay distinct; string/binary blob parity") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.bottomk_sample
+    import spark.implicits._
+    val bin = (Seq.fill(4)(Array(0xff.toByte)) ++ Seq.fill(3)(Array(0xfe.toByte))).toDF("key")
+    val blob = bin.agg(bottomk_sample(col("key"), 10)).head.getAs[Array[Byte]](0)
+    val s = BkSample.deserialize(blob)
+    assert(s.size == 2 && s.totalAdds == 7L) // two distinct binary keys
+    // string inputs produce the same blob as their UTF-8 binary form
+    val strDf = spark.range(100).select(col("id").cast("string").as("key"))
+    val binDf = spark.range(100).select(encode(col("id").cast("string"), "UTF-8").as("key"))
+    val a = strDf.agg(bottomk_sample(col("key"), 16)).head.getAs[Array[Byte]](0)
+    val b = binDf.agg(bottomk_sample(col("key"), 16)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
 }
