@@ -174,21 +174,34 @@ object Similarity {
     * `2^planes`; recall rises with `tables`, cost with both.
     * Candidates are deduped before exact scoring, so each (query,
     * neighbor) pair is scored once.
+    *
+    * Id-only candidate exchange (the [[Dedup.minHashPairs]] /
+    * [[Dedup.embeddingNearDupPairs]] discipline): the bucket join and the
+    * candidate dedup ship ONLY (query_id, neighbor_id) — never the
+    * dim×4-byte vectors, which at 10^11 corpus vectors × `tables`
+    * bucketings would widen the exchange ~50×. Vectors re-join the
+    * (deduped, tiny) candidate set afterwards for exact scoring; the
+    * query side is broadcast both times (it is the small side by
+    * contract).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame = {
     def bucketsOf(v: Column): Column = array((0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneBucket(v, planes, seed + 7919L * t).as("b"))): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
       explode(bucketsOf(col(vecCol))).as("bk"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"),
       explode(bucketsOf(col(vecCol))).as("bk"))
     val candidates = c.join(broadcast(q), Seq("bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

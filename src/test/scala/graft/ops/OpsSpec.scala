@@ -100,6 +100,19 @@ class OpsSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.25, s"recall=$recall") // 8 OR-ed tables of 64 buckets
     assert(approx.nonEmpty)
+    // id-only candidate exchange: the dedup aggregate (the only Aggregate
+    // in the plan) must carry ids only — vectors re-join AFTER the dedup,
+    // never ride the ×tables bucket explode or the dedup shuffle
+    val agg = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+    assert(agg.nonEmpty)
+    agg.foreach { a =>
+      val outs = a.output.map(_.name).toSet
+      assert(outs.subsetOf(Set("query_id", "neighbor_id")),
+        s"candidate dedup carries non-id columns: $outs")
+    }
   }
 
   test("token counting matches a local oracle incl. edge cases") {
