@@ -471,6 +471,38 @@ case class CmsQuery(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery = copy(l, r)
 }
 
+/** `cms_query` over a REAL broadcast variable holding the blob — the
+  * ShardedBloomProbe pattern generalized to count-min probes.
+  *
+  * Why: a CMS at production accuracy (eps=1e-4, delta=0.01) serializes to
+  * ~1 MB, and `cms_query(lit(blob), key)` embeds that megabyte in EVERY
+  * serialized task binary of the probing stage (Spark's "Broadcasting
+  * large task binary" warning). Holding a `Broadcast` handle instead
+  * ships the plan in bytes; each executor torrent-fetches one copy and
+  * the per-task deserialization is memoized via [[SketchCache]].
+  * Codegen'd — the heavy-hitter candidate filter is a per-row hot path.
+  */
+case class CmsQueryBroadcast(child: Expression,
+    blob: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with GraftTypeCheck {
+  @transient private lazy val cache = new SketchCache[CmsSketch]
+  override def prettyName: String = "cms_query_broadcast"
+  override def dataType: DataType = LongType
+  override protected def expectedTypes = Seq(GraftTypeCheck.stringOrBinary)
+  private def sketch: CmsSketch = cache.get(blob.value, CmsSketch.deserialize)
+  def probe(key: UTF8String): Long = sketch.estimateCount(key.getBytes)
+  def probe(key: Array[Byte]): Long = sketch.estimateCount(key)
+  override def nullSafeEval(key: Any): Any = child.dataType match {
+    case StringType => probe(key.asInstanceOf[UTF8String])
+    case BinaryType => probe(key.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cmsqb", this, classOf[CmsQueryBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, key => s"${ev.value} = $self.probe($key);")
+  }
+  override protected def withNewChildInternal(c: Expression): CmsQueryBroadcast = copy(child = c)
+}
+
 /** `cms_total_count(blob)` — stream length N of a CMS blob. */
 case class CmsTotalCount(child: Expression)
     extends UnaryExpression with CodegenFallback with GraftTypeCheck {

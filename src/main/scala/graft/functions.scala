@@ -127,6 +127,15 @@ object functions {
   def theta_a_not_b(a: Column, b: Column): Column = col(ThetaANotB(ex(a), ex(b)))
 
   def cms_query(blob: Column, key: Column): Column = col(CmsQuery(ex(blob), ex(key)))
+
+  /** Count-min probe against a blob held in a REAL broadcast variable —
+    * use instead of `cms_query(lit(blob), key)` whenever the blob is
+    * large (≥ ~100 KB): the plan/task binaries stay bytes-sized while
+    * each executor torrent-fetches one blob copy.
+    */
+  def cms_query_broadcast(blob: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                          key: Column): Column =
+    col(CmsQueryBroadcast(ex(key), blob))
   def cms_total_count(blob: Column): Column = col(CmsTotalCount(ex(blob)))
 
   def tdigest_quantile(blob: Column, q: Double): Column =

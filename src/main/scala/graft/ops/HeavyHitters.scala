@@ -54,7 +54,13 @@ object HeavyHitters {
     val blob = df.agg(cms_sketch(key, eps, delta)).head.getAs[Array[Byte]](0)
     val n = CmsSketch.deserialize(blob).totalCount
     val thresh = math.ceil(phi * n).toLong
-    df.filter(cms_query(lit(blob), key) >= thresh)
+    // the blob rides a REAL broadcast variable, not a plan literal: at the
+    // default accuracy it is ~1 MB, and a lit() would embed it in every
+    // serialized task binary of the probe stage ("Broadcasting large task
+    // binary" warnings); the broadcast handle keeps tasks bytes-sized and
+    // each executor fetches one copy
+    val bcast = df.sparkSession.sparkContext.broadcast(blob)
+    df.filter(cms_query_broadcast(bcast, key) >= thresh)
       .groupBy(key)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thresh)

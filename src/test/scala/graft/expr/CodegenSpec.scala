@@ -55,6 +55,23 @@ class CodegenSpec extends AnyFunSuite {
     assert(!BloomMightContain(e, e).isInstanceOf[CodegenFallback])
     assert(!MgEstimate(e, e).isInstanceOf[CodegenFallback])
     assert(!RangeBucket(e, Array(1.0)).isInstanceOf[CodegenFallback])
+    assert(!CmsQueryBroadcast(e, null).isInstanceOf[CodegenFallback])
+  }
+
+  test("cms_query_broadcast filter stays inside WholeStageCodegen") {
+    val keys = (0 until 500).map(i => s"k${i % 17}").toDF("k")
+    val blob = keys.agg(cms_sketch(col("k"), 0.01, 0.01)).head.getAs[Array[Byte]](0)
+    val bcast = spark.sparkContext.broadcast(blob)
+    val probed = spark.range(100).select(concat(lit("k"), col("id") % 17).as("k"))
+      .filter(cms_query_broadcast(bcast, col("k")) > 0L)
+    val plan = codegenPlanOf(probed)
+    assert(plan.contains("*("), s"no codegen stage in plan:\n$plan")
+    assert(probed.count() == 100)
+    // identical answers to the literal-blob probe
+    val both = spark.range(50).select(concat(lit("k"), col("id") % 17).as("k"))
+      .select(cms_query(lit(blob), col("k")).as("a"),
+        cms_query_broadcast(bcast, col("k")).as("b"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   test("mg_estimate filter and range_bucket select stay inside WholeStageCodegen") {

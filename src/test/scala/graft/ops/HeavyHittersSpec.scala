@@ -27,6 +27,32 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got("hot-a") == 4000L && got("hot-b") == 2000L)
   }
 
+  test("exact: the CMS blob rides a broadcast handle, never a plan literal") {
+    // range-based input: a LocalRelation would eagerly collapse the
+    // probe filter before the plan could be inspected
+    val df = spark.range(20000).select(
+      when(col("id") % 8 === 0, lit("hot"))
+        .otherwise(concat(lit("l"), col("id") % 500)).as("key"))
+    // production-sized sketch: eps=1e-4 serializes to ~1 MB
+    val plan = HeavyHitters.exact(df, "key", 0.05, 1e-4, 0.01)
+      .queryExecution.optimizedPlan
+    val probes = plan.collect { case p => p }.flatMap(_.expressions)
+      .flatMap(_.collect { case e: graft.expr.CmsQueryBroadcast => e })
+    assert(probes.nonEmpty, "probe must be a CmsQueryBroadcast expression")
+    // no megabyte binary literal anywhere in the probing plan
+    val bigLits = plan.collect { case p => p }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.value.isInstanceOf[Array[Byte]] &&
+            l.value.asInstanceOf[Array[Byte]].length > 64 * 1024 => l
+      })
+    assert(bigLits.isEmpty, s"plan still embeds ${bigLits.size} large blob literal(s)")
+    // and the result is still the exact GROUP BY/HAVING answer
+    val got = HeavyHitters.exact(df, "key", 0.05, 1e-4, 0.01)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 2500L))
+  }
+
   test("no heavy hitters -> empty result, not an error") {
     val df = (0 until 5000).map(i => s"k${i % 1000}").toDF("key")
     assert(HeavyHitters.exact(df, "key", 0.01, 1e-3, 0.01).count() == 0)
