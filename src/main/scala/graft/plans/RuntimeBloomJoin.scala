@@ -107,49 +107,66 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     spine(left)
   }
 
-  private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean = {
-    // The build side executes TWICE (subquery + join input). A
-    // nondeterministic right side (rand(), sample without seed) would
-    // build the filter from a DIFFERENT row set than the join sees —
-    // false negatives, wrong results. Refuse the rewrite outright.
+  /** Can `build` feed a runtime filter applied to `probe`? The build side
+    * executes TWICE (subquery + join input): a nondeterministic build
+    * (rand(), sample without seed) would build the filter from a DIFFERENT
+    * row set than the join sees — false negatives, wrong results. Refuse
+    * the rewrite outright.
+    */
+  private def eligible(probe: LogicalPlan, build: LogicalPlan): Boolean = {
     def planDeterministic(p: LogicalPlan): Boolean =
       p.find(n => n.expressions.exists(!_.deterministic)).isEmpty
-    val rs = right.stats.sizeInBytes
-    val ls = left.stats.sizeInBytes
-    rs <= maxBuildBytes && BigDecimal(ls) >= BigDecimal(rs) * minSizeRatio &&
-      planDeterministic(right)
+    val bs = build.stats.sizeInBytes
+    val ps = probe.stats.sizeInBytes
+    bs <= maxBuildBytes && BigDecimal(ps) >= BigDecimal(bs) * minSizeRatio &&
+      planDeterministic(build)
+  }
+
+  /** The injected probe predicate: a scalar-subquery Bloom build over
+    * `build(buildKey)`, probed against `probeKey`. Capacity, best stat
+    * first: the key's distinct count (what a Bloom filter actually holds)
+    * > build row count > the configured fallback. Undersizing is no
+    * longer silent either way — the probe's fill-ratio guard disables a
+    * saturated filter at runtime instead of paying FPR→1 probe overhead.
+    */
+  private def probePredicate(build: LogicalPlan, buildKey: Expression,
+                             probeKey: Expression): Expression = {
+    val distinctKeys = buildKey match {
+      case a: Attribute =>
+        build.stats.attributeStats.collectFirst {
+          case (attr, s) if attr.semanticEquals(a) => s.distinctCount
+        }.flatten.map(_.toLong)
+      case _ => None
+    }
+    val n = distinctKeys.orElse(build.stats.rowCount.map(_.toLong))
+      .map(_.max(1024L)).getOrElse(estimatedKeys)
+    val agg = Aggregate(Nil,
+      Seq(Alias(BloomSketchAgg(Cast(buildKey, StringType), n, fpp).toAggregateExpression(),
+        RuntimeBloomJoin.MarkerAlias)()),
+      build)
+    BloomMightContain(ScalarSubquery(agg), Cast(probeKey, StringType),
+      saturationThreshold)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(left, right, jt, Some(cond), _)
-          if (jt == Inner || jt == LeftSemi) && eligible(left, right) =>
+      case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftSemi =>
         findEquiKey(cond, left, right) match {
-          case Some((lk, rk)) if !alreadyInjected(left, lk) =>
-            // Capacity, best stat first: the key's distinct count (what a
-            // Bloom filter actually holds) > build row count > the
-            // configured fallback. Undersizing is no longer silent either
-            // way — the probe's fill-ratio guard disables a saturated
-            // filter at runtime instead of paying FPR→1 probe overhead.
-            val distinctKeys = rk match {
-              case a: Attribute =>
-                right.stats.attributeStats.collectFirst {
-                  case (attr, s) if attr.semanticEquals(a) => s.distinctCount
-                }.flatten.map(_.toLong)
-              case _ => None
-            }
-            val n = distinctKeys.orElse(right.stats.rowCount.map(_.toLong))
-              .map(_.max(1024L)).getOrElse(estimatedKeys)
-            val buildKey = Cast(rk, StringType)
-            val agg = Aggregate(Nil,
-              Seq(Alias(BloomSketchAgg(buildKey, n, fpp).toAggregateExpression(),
-                RuntimeBloomJoin.MarkerAlias)()),
-              right)
-            val probe = BloomMightContain(ScalarSubquery(agg), Cast(lk, StringType),
-              saturationThreshold)
-            j.copy(left = Filter(probe, left))
-          case _ => j // no usable equi-key, or this key already filtered
+          case Some((lk, rk)) =>
+            // Preferred orientation: build on the right (works for both
+            // Inner and LeftSemi). MIRROR for Inner only: an inner join
+            // is symmetric, so a small deterministic LEFT side can just
+            // as well pre-filter a large right side — without the mirror
+            // a selective left build never triggers the rule. The two
+            // orientations are mutually exclusive by the size ratio
+            // (p >= ratio·b cannot hold both ways for ratio > 1).
+            if (eligible(left, right) && !alreadyInjected(left, lk))
+              j.copy(left = Filter(probePredicate(right, rk, lk), left))
+            else if (jt == Inner && eligible(right, left) && !alreadyInjected(right, rk))
+              j.copy(right = Filter(probePredicate(left, lk, rk), right))
+            else j
+          case _ => j // no usable equi-key
         }
     }
 }

@@ -97,6 +97,28 @@ class RuntimeBloomJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("mirrored orientation: small LEFT build side pre-filters the right (Inner only)") {
+    // build (small) on the LEFT, probe (large) on the RIGHT — without the
+    // mirror this orientation never rewrites
+    val plain = build.join(probe, $"bk" === $"k").agg(count(lit(1)), sum($"k")).collect()
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = build.join(probe, $"bk" === $"k")
+      val plan = optimizedString(df)
+      assert(plan.contains("bloom_might_contain"), s"mirror did not fire:\n$plan")
+      // idempotent under the fixpoint batch: exactly one probe
+      assert(plan.split("bloom_might_contain").length - 1 == 1, s"not idempotent:\n$plan")
+      assert(df.agg(count(lit(1)), sum($"k")).collect().toSeq == plain.toSeq)
+      assert(df.count() == 500)
+    }
+    // LeftSemi must NOT mirror (the left side is the output side): small
+    // left + large right semi-join stays unrewritten
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
+      val df = build.select($"bk".as("k")).join(probe.select($"k"), Seq("k"), "left_semi")
+      assert(!optimizedString(df).contains("bloom_might_contain"))
+      assert(df.count() == 500)
+    }
+  }
+
   test("join chain: EACH eligible join gets its own filter (markers are per-key)") {
     withRule("spark.graft.runtimeBloomJoin.enabled" -> "true") {
       val fact = (0 until 20000).map(i => (i.toLong, (i % 700).toLong)).toDF("k1", "k2")
