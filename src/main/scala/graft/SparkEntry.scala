@@ -807,6 +807,28 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // --- near-dup cluster resolution (large-star/small-star, SoCC 2014):
+    // transitive chains A~B~C with A!~C must collapse to ONE min-id rep.
+    // Deterministic corpus: 4 chains of 5 sliding 180-char windows over a
+    // non-repeating digit tape, stride 44 — consecutive windows share
+    // 31/53 n-gram Jaccard (edge at threshold 1/2), skip-one windows
+    // 20/64 (no edge), chains occupy disjoint tape regions. The oracle
+    // recomputes the identical edge set relationally and resolves
+    // components with a recursive CTE ---
+    "q46_neardup_clusters" -> ((s, dir) => {
+      val base = "array_join(transform(sequence(0, 1099), i -> lpad(cast(i as string), 4, '0')), '')"
+      val docs = s.range(20).select(col("id"),
+        expr(s"substring($base, cast((id div 5) * 1000 + (id % 5) * 44 + 1 as int), 180)").as("t"))
+      val edges = Dedup.ngramJaccardPairs(docs, "id", "t", 16, 4, 1, 2)
+        .select(col("id_a"), col("id_b"))
+      val mapping = Dedup.resolveClusters(edges)
+      docs.select(col("id"))
+        .join(mapping, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
+        .withColumn("survivor", col("id") === col("rep_id"))
+        .orderBy(col("id"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1148,6 +1170,30 @@ object SparkEntry {
         |  true AS bound_ok, true AS total_ok
         |FROM ev, tot GROUP BY key, tot.tw HAVING CAST(sum(w) AS BIGINT) > tw // 17
         |ORDER BY key""".stripMargin,
+
+    "q46_neardup_clusters" ->
+      """WITH RECURSIVE
+        |base AS (SELECT string_agg(lpad(CAST(i AS VARCHAR), 4, '0'), '' ORDER BY i) AS s
+        |  FROM range(1100) t(i)),
+        |docs AS (SELECT CAST(i AS BIGINT) AS id,
+        |  substring(base.s, CAST((i // 5) * 1000 + (i % 5) * 44 + 1 AS INT), 180) AS t
+        |  FROM range(20) r(i), base),
+        |sh AS (SELECT id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(t) - 15, 1) + 1, 4),
+        |    p -> substring(t, CAST(p AS INT), 16)))) AS sh FROM docs),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2),
+        |edges AS (SELECT id_a AS a, id_b AS b
+        |  FROM pairs p JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b
+        |  WHERE common * 2 >= (sa.n + sb.n - common) * 1),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM docs
+        |  UNION
+        |  SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.id),
+        |rep AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+        |SELECT id, rep_id, id = rep_id AS survivor FROM rep ORDER BY id""".stripMargin,
 
     "q26_sharded_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

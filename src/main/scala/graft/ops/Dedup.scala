@@ -281,6 +281,138 @@ object Dedup {
     exactEdges.unionAll(nearEdges)
   }
 
+  /** Transitive near-dup cluster resolution: turn a PAIR list (the output
+    * of [[minHashPairs]]/[[simHashPairs]]/[[ngramJaccardPairs]]/
+    * [[nearDupPairsScaled]]) into `(id, rep_id)` where `rep_id` is the
+    * MINIMUM id of each connected component — the last step a real dedup
+    * pipeline needs before "keep one doc per cluster".
+    *
+    * Algorithm: alternating large-star / small-star min-label rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — each round is two
+    * node-keyed window passes over the edge table, NEVER a driver-side
+    * union-find, so a component larger than any single machine's memory
+    * (the web-boilerplate case) still resolves. Converges in O(log n)
+    * rounds on real graphs (paper bound O(log² n)); each round's edge
+    * table is persisted and the previous one released, so the only
+    * steady-state footprint is two edge tables.
+    *
+    *   - large-star: every node connects its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: every node connects its smaller-or-equal neighbors
+    *     (and itself) to that minimum.
+    *
+    * At the fixpoint the edge set is a disjoint union of stars centered
+    * on component minima; the returned mapping covers every node that
+    * appeared in an edge (center rows map to themselves). Ids may be any
+    * orderable type (numeric, string, date); null ids are dropped.
+    */
+  def resolveClusters(edges: DataFrame, idACol: String = "id_a",
+                      idBCol: String = "id_b", maxIterations: Int = 50): DataFrame =
+    resolveClustersInternal(edges, idACol, idBCol, maxIterations)._1
+
+  /** [[resolveClusters]] + the number of star rounds run (test surface for
+    * the O(log n) convergence claim).
+    */
+  private[graft] def resolveClustersInternal(edges: DataFrame, idACol: String,
+      idBCol: String, maxIterations: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+
+    // Materialize AND truncate lineage each round: a plain persist keeps
+    // the full logical plan, and every round references the previous
+    // round's plan ~5× (sym union, window, except) — the analysis tree
+    // would grow exponentially with rounds. Reliable checkpoint when the
+    // session has a checkpoint dir (the cluster deployment: survives
+    // executor loss); localCheckpoint (block-store backed) otherwise.
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
+    // canonical undirected edges u < v, no self-loops/nulls/duplicates
+    def canon(df: DataFrame): DataFrame = df.distinct()
+
+    // large-star: symmetrize, then per node a connect each larger
+    // neighbor b to m = min(N(a) ∪ {a}); m <= a < b keeps edges canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val w = Window.partitionBy(col("a"))
+      canon(sym
+        .select(col("a"), col("b"), least(min(col("b")).over(w), col("a")).as("m"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v")))
+    }
+
+    // small-star on canonical edges (u < v): per node v connect each
+    // smaller neighbor u (and v itself) to m = min of v's smaller
+    // neighborhood; emitted edges (m, x) with m < x stay canonical
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("v"))
+      val wm = e.select(col("u"), col("v"), min(col("u")).over(w).as("m"))
+      canon(wm.filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .unionAll(wm.select(col("m").as("u"), col("v"))))
+    }
+
+    var e = pin(edges
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull)
+      .select(least(col(idACol), col(idBCol)).as("u"),
+        greatest(col(idACol), col(idBCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var count = e.count()
+    var iters = 0
+    var converged = count == 0L
+    // set equality between two DISTINCT tables: equal counts + empty
+    // difference ⇒ equal sets (one narrow anti-join per check)
+    def sameSet(a: DataFrame, ca: Long, b: DataFrame, cb: Long): Boolean =
+      ca == cb && a.exceptAll(b).limit(1).count() == 0L
+    while (!converged) {
+      if (iters >= maxIterations)
+        throw new IllegalStateException(
+          s"resolveClusters did not converge in $maxIterations rounds " +
+            "(theoretical bound O(log^2 n) — raise maxIterations)")
+      val ls = pin(largeStar(e))
+      val cls = ls.count()
+      val e2 = pin(smallStar(ls))
+      val c2 = e2.count()
+      // converged only when BOTH transforms are at their own fixpoint —
+      // exactly the disjoint-min-star terminal state of SoCC 2014 (a
+      // composition-only check could accept an oscillating non-star set)
+      converged = sameSet(ls, cls, e, count) && sameSet(e2, c2, ls, cls)
+      e = e2
+      count = c2
+      iters += 1
+    }
+    // stars: leaves map to their center, centers to themselves
+    val mapping = e.select(col("v").as("id"), col("u").as("rep_id"))
+      .unionAll(e.select(col("u").as("id"), col("u").as("rep_id")))
+      .distinct()
+    (mapping, iters)
+  }
+
+  /** The end-to-end near-dedup VERDICT (RefinedWeb/SlimPajama style):
+    * exact-first scaled pair generation ([[nearDupPairsScaled]]) →
+    * transitive cluster resolution ([[resolveClusters]]) → keep exactly
+    * ONE representative (the minimum id) per connected near-dup cluster;
+    * rows in no cluster pass through untouched.
+    *
+    * Scale shape: everything before the final anti-join is the documented
+    * scaled pipeline; the drop list is one narrow (id) column of
+    * `rows - clusters` entries, and the final anti-join is one hash
+    * shuffle of ids (or a broadcast when the drop list is small).
+    */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                threshold: Double = 0.7, maxBandFreq: Long = 1000L,
+                sigStore: Store = Store.Cache): DataFrame = {
+    val pairs = nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
+      shingleWidth, threshold, maxBandFreq, sigStore)
+    val mapping = resolveClusters(pairs.select(col("id_a"), col("id_b")))
+    val drop = mapping.filter(col("id") =!= col("rep_id")).select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level boilerplate removal (the ccnet/RefinedWeb pipeline
     * step): a paragraph appearing in ≥ `maxDocFreq` DISTINCT documents is
     * boilerplate (nav bars, cookie banners, footers) and is dropped from
