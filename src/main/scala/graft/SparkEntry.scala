@@ -829,6 +829,54 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- non-canonical audio decode via the JDK's own javax.sound.sampled
+    // (the audio analog of q39's imageio move, zero new jars): stereo
+    // PCM16 downmixes by the exact truncating channel average, PCM8
+    // widens within one 8-bit step (zero-anchored), canonical mono PCM16
+    // stays byte-exact on the fast path, corrupt bytes fail cleanly ---
+    "q47_audio_decode" -> ((s, _) => {
+      import s.implicits._
+      val n = 200L
+      val per = s.range(0, n, 1, 8).map { i =>
+        val cls = (i % 4).toInt
+        val len = 300 + (i % 50).toInt
+        def samples(seed: Long): Array[Short] = Array.tabulate(len) { j =>
+          (graft.core.Fnv.splitmix64(seed * 4096 + j) % 28000L).toShort
+        }
+        val l = samples(i * 2 + 1)
+        val r = samples(i * 2 + 2)
+        cls match {
+          case 0 =>
+            val dec = MediaCodecs.decodeAudio(MediaCodecs.encodeWavStereo(8000, l, r))
+            val want = Array.tabulate(len)(j => ((l(j) + r(j)) / 2).toShort)
+            (cls, dec.exists(d => d._1 == 8000 && java.util.Arrays.equals(d._2, want)))
+          case 1 =>
+            val u = Array.tabulate(len)(j =>
+              (graft.core.Fnv.splitmix64(i * 4096 + j) & 0xff).toByte)
+            val dec = MediaCodecs.decodeAudio(MediaCodecs.encodeWavPcm8(11025, u))
+            val ok = dec.exists { case (rate, sd) =>
+              rate == 11025 && sd.length == len && sd.indices.forall { j =>
+                val nominal = ((u(j) & 0xff) - 128) << 8
+                math.abs(sd(j) - nominal) <= 256 && ((u(j) & 0xff) != 128 || sd(j) == 0)
+              }
+            }
+            (cls, ok)
+          case 2 =>
+            val dec = MediaCodecs.decodeAudio(MediaCodecs.encodeWav(16000, l))
+            (cls, dec.exists(d => d._1 == 16000 && java.util.Arrays.equals(d._2, l)))
+          case _ =>
+            val b = MediaCodecs.encodeWavStereo(8000, l, r)
+            b(0) = 'X'.toByte
+            (cls, MediaCodecs.decodeAudio(b).isEmpty)
+        }
+      }.toDF("cls", "ok")
+      per.agg(
+        count(when(col("cls") === 0 && col("ok"), 1)).as("stereo_exact"),
+        count(when(col("cls") === 1 && col("ok"), 1)).as("pcm8_ok"),
+        count(when(col("cls") === 2 && col("ok"), 1)).as("mono_exact"),
+        count(when(col("cls") === 3 && col("ok"), 1)).as("corrupt_failed"))
+    }),
+
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
     "q23_bloom_estimators" -> ((s, _) => {
       import s.implicits._
@@ -1170,6 +1218,13 @@ object SparkEntry {
         |  true AS bound_ok, true AS total_ok
         |FROM ev, tot GROUP BY key, tot.tw HAVING CAST(sum(w) AS BIGINT) > tw // 17
         |ORDER BY key""".stripMargin,
+
+    "q47_audio_decode" ->
+      """SELECT CAST(count(*) FILTER (WHERE i % 4 = 0) AS BIGINT) AS stereo_exact,
+        | CAST(count(*) FILTER (WHERE i % 4 = 1) AS BIGINT) AS pcm8_ok,
+        | CAST(count(*) FILTER (WHERE i % 4 = 2) AS BIGINT) AS mono_exact,
+        | CAST(count(*) FILTER (WHERE i % 4 = 3) AS BIGINT) AS corrupt_failed
+        |FROM range(200) t(i)""".stripMargin,
 
     "q46_neardup_clusters" ->
       """WITH RECURSIVE

@@ -201,6 +201,98 @@ object MediaCodecs {
     Some((sampleRate, samples))
   }
 
+  /** Stereo PCM16 WAV encoder (interleaved L/R) — the non-canonical
+    * fixture real crawls are full of; exercised by the AudioSystem path.
+    */
+  def encodeWavStereo(sampleRate: Int, left: Array[Short], right: Array[Short]): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val dataLen = left.length * 4
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(2) // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * 4) // byte rate
+      .putShort(4) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    var i = 0
+    while (i < left.length) { buf.putShort(left(i)); buf.putShort(right(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Mono PCM8 WAV encoder (8-bit samples are UNSIGNED per the WAV spec). */
+  def encodeWavPcm8(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val dataLen = samples.length
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate
+      .putShort(1) // block align
+      .putShort(8) // bits/sample
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    buf.put(samples)
+    buf.array()
+  }
+
+  /** General audio decode to the library's PCM16-mono contract: the
+    * canonical PCM16-mono-LE WAV takes the fast direct parser
+    * ([[decodeWav]]); every other format the JDK understands — stereo /
+    * PCM8 / PCM24/32 / float WAV, WAVs with extra LIST/fact chunks, AIFF,
+    * AU — goes through `javax.sound.sampled.AudioSystem` (ships in
+    * `java.desktop`, zero external codec jars), is converted to 16-bit
+    * signed PCM at the source rate and channel count, then downmixed to
+    * mono by truncating channel average `(sum / channels)`. Compressed
+    * audio (MP3/Opus) stays the documented seam — the JDK ships no
+    * decoder. Any failure returns None (`decode_ok = false`), never a
+    * task exception.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    decodeWav(bytes).orElse(decodeAudioSystem(bytes))
+
+  /** The `AudioSystem` leg of [[decodeAudio]]. */
+  def decodeAudioSystem(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val ch = src.getChannels
+        val rate = math.round(src.getSampleRate)
+        if (ch <= 0 || ch > 8 || rate <= 0) return None
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcm.read(buf)
+        // bound the decoded size BEFORE buffering it: ~2^26 frames ≈
+        // 256 MB of stereo PCM — far beyond any real crawled row
+        while (n > 0 && out.size() <= (1 << 27)) { out.write(buf, 0, n); n = pcm.read(buf) }
+        if (out.size() > (1 << 27)) return None
+        val data = out.toByteArray
+        val frames = data.length / (2 * ch)
+        val mono = new Array[Short](frames)
+        val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+        var f = 0
+        while (f < frames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) { acc += bb.getShort(); c += 1 }
+          mono(f) = (acc / ch).toShort // truncating channel average
+          f += 1
+        }
+        Some((rate, mono))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   // ---------------- GVID (raw-frame motion container) ----------------
 
   def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {

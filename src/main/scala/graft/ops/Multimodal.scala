@@ -52,7 +52,7 @@ object Multimodal {
   def decode(mediaType: String, media: Array[Byte], dim: Int): Option[Array[Float]] =
     mediaType match {
       case "image" => MediaCodecs.decodeImage(media).map(MediaCodecs.imageFeatures(_, dim))
-      case "audio" => MediaCodecs.decodeWav(media).map { case (_, s) => MediaCodecs.audioFeatures(s, dim) }
+      case "audio" => MediaCodecs.decodeAudio(media).map { case (_, s) => MediaCodecs.audioFeatures(s, dim) }
       case "video" =>
         // video-level features = first frame's image features + frame count
         MediaCodecs.decodeGvidFrame(media, 0).map { img =>

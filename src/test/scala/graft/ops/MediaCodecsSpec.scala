@@ -184,4 +184,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     val got = Multimodal.extractFeatures(rows.toDS(), 8).collect().map(r => r.media_id -> r.decode_ok).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
   }
+
+  test("AudioSystem leg: stereo WAV downmixes exactly; canonical stays on the fast path") {
+    val n = 500
+    val l = Array.tabulate(n)(i => ((i * 37) % 20000 - 10000).toShort)
+    val r = Array.tabulate(n)(i => ((i * 53) % 18000 - 9000).toShort)
+    val stereo = MediaCodecs.encodeWavStereo(8000, l, r)
+    // the direct parser must NOT claim stereo; decodeAudio must
+    assert(MediaCodecs.decodeWav(stereo).isEmpty)
+    val Some((rate, mono)) = MediaCodecs.decodeAudio(stereo)
+    assert(rate == 8000 && mono.length == n)
+    // truncating channel average, computed independently here
+    (0 until n).foreach { i =>
+      assert(mono(i) == ((l(i) + r(i)) / 2).toShort, s"frame $i")
+    }
+    // identical channels: downmix is the identity
+    val same = MediaCodecs.encodeWavStereo(8000, l, l)
+    assert(MediaCodecs.decodeAudio(same).get._2.toSeq == l.toSeq)
+    // canonical mono PCM16 still decodes (fast path) byte-exactly
+    val monoWav = MediaCodecs.encodeWav(8000, l)
+    assert(MediaCodecs.decodeAudio(monoWav).get._2.toSeq == l.toSeq)
+  }
+
+  test("AudioSystem leg: PCM8 WAV widens within one 8-bit step; corrupt audio fails clean") {
+    val u = Array.tabulate(300)(i => ((i * 7) % 256).toByte) // unsigned content
+    val wav8 = MediaCodecs.encodeWavPcm8(11025, u)
+    assert(MediaCodecs.decodeWav(wav8).isEmpty) // not the canonical format
+    val Some((rate, s)) = MediaCodecs.decodeAudio(wav8)
+    assert(rate == 11025 && s.length == 300)
+    // the JDK converter scales ~32767/127 rather than <<8; accept any
+    // widening within one 8-bit quantization step of the nominal value,
+    // anchored exactly at zero
+    (0 until 300).foreach { i =>
+      val nominal = ((u(i) & 0xff) - 128) << 8
+      assert(math.abs(s(i) - nominal) <= 256, s"sample $i: ${s(i)} vs $nominal")
+      if ((u(i) & 0xff) == 128) assert(s(i) == 0, s"sample $i: zero not preserved")
+    }
+    // corrupt: bad magic, truncated header, truncated data, random bytes
+    val broken = wav8.clone(); broken(0) = 'X'.toByte
+    assert(MediaCodecs.decodeAudio(broken).isEmpty)
+    assert(MediaCodecs.decodeAudio(wav8.take(20)).isEmpty)
+    assert(MediaCodecs.decodeAudio(Array.tabulate(200)(i =>
+      graft.core.Fnv.splitmix64(i.toLong).toByte)).isEmpty)
+    assert(MediaCodecs.decodeAudio(Array.empty[Byte]).isEmpty)
+  }
+
+  test("AudioSystem leg: AIFF (big-endian JDK writer) round-trips through decodeAudio") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array.tabulate(400)(i => ((i * 91) % 30000 - 15000).toShort)
+    val bytes = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 16000f, 16, 1, 2, 16000f, true)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+      AudioFileFormat.Type.AIFF, out)
+    val Some((rate, got)) = MediaCodecs.decodeAudio(out.toByteArray)
+    assert(rate == 16000 && got.toSeq == samples.toSeq)
+  }
 }
