@@ -138,8 +138,18 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         }.flatten.map(_.toLong)
       case _ => None
     }
+    // No row stats? Bound rows by sizeInBytes/8 (a serialized build row
+    // is never under 8 bytes, so this OVER-estimates rows — the safe
+    // direction), capped at the configured fallback. This right-sizes the
+    // blob the scalar subquery materializes into every task binary: the
+    // blind 1M-key fallback is a ~1.2 MB blob ("Broadcasting large task
+    // binary") even when the build side holds a few thousand rows.
+    val sizeBound = {
+      val s = build.stats.sizeInBytes / 8
+      if (s.isValidLong) math.min(estimatedKeys, s.toLong) else estimatedKeys
+    }
     val n = distinctKeys.orElse(build.stats.rowCount.map(_.toLong))
-      .map(_.max(1024L)).getOrElse(estimatedKeys)
+      .getOrElse(sizeBound).max(1024L)
     val agg = Aggregate(Nil,
       Seq(Alias(BloomSketchAgg(Cast(buildKey, StringType), n, fpp).toAggregateExpression(),
         RuntimeBloomJoin.MarkerAlias)()),
