@@ -783,6 +783,27 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- weighted distinct sample (Efraimidis-Spirakis A-Res): k keys
+    // per group with inclusion probability scaling with weight,
+    // mergeable + bitwise deterministic at any partitioning. Emitted
+    // facts are invariant: sample size, cross-partitioning blob
+    // equality, membership of every sampled key in its group ---
+    "q48_weighted_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"),
+        concat(lit("d"), col("doc_id")).as("k"),
+        (col("n_chars") + 1).cast("long").as("w"))
+      val b1 = d.groupBy(col("lang")).agg(weighted_sample(col("k"), col("w"), 10).as("b"))
+      val b2 = d.repartition(7, col("k"))
+        .groupBy(col("lang")).agg(weighted_sample(col("k"), col("w"), 10).as("b2"))
+      val membersOk = b1.select(col("lang"), explode(ws_values(col("b"))).as("k"))
+        .join(d, Seq("lang", "k"), "left_anti").count() == 0
+      b1.join(b2, "lang")
+        .select(col("lang"), size(ws_values(col("b"))).as("sample_size"),
+          (col("b") === col("b2")).as("deterministic"),
+          lit(membersOk).as("members_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // --- weighted Misra-Gries heavy hitters: heavy by TOTAL WEIGHT
     // (bytes per domain, tokens per url — the pipeline ask), same
     // guarantees with n = total weight W. floor(value) keeps the weight
@@ -875,6 +896,28 @@ object SparkEntry {
         count(when(col("cls") === 1 && col("ok"), 1)).as("pcm8_ok"),
         count(when(col("cls") === 2 && col("ok"), 1)).as("mono_exact"),
         count(when(col("cls") === 3 && col("ok"), 1)).as("corrupt_failed"))
+    }),
+
+    // --- int8 embedding quantization: 4x storage residency with
+    // reconstruction error <= scale/2 per component, exact idempotent
+    // re-quantization, length preservation — all verified per vector ---
+    "q49_vec_quantize" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.select(col("vec_id"), col("embedding"),
+          vec_quantize_int8(col("embedding")).as("sq"))
+        .withColumn("back", vec_dequantize_int8(col("sq")))
+      val checks = q.select(
+        (size(col("back")) === size(col("embedding"))).as("len_ok"),
+        aggregate(zip_with(col("embedding"), col("back"),
+            (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+        col("sq.scale").cast("double").as("scale"),
+        (vec_quantize_int8(col("back")) === col("sq")).as("idem_ok"))
+      checks.agg(count(lit(1)).as("n_vecs"),
+        (sum(when(col("len_ok"), 0).otherwise(1)) === 0).as("len_all_ok"),
+        (sum(when(col("max_err") <= col("scale") * 0.5 + 1e-6, 0).otherwise(1)) === 0)
+          .as("err_within_half_scale"),
+        (sum(when(col("idem_ok"), 0).otherwise(1)) === 0).as("requantize_exact"))
     }),
 
     // --- estimator goldens (testsuite.c:186-202,291-347) ---
@@ -1205,6 +1248,16 @@ object SparkEntry {
         |FROM range(0, 8) t(i) ORDER BY bucket""".stripMargin,
 
     "q44_bottomk_sample" ->
+      """SELECT lang, CAST(least(10, count(DISTINCT doc_id)) AS INT) AS sample_size,
+        |  true AS deterministic, true AS members_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q49_vec_quantize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,
+        | true AS err_within_half_scale, true AS requantize_exact
+        |FROM embeddings""".stripMargin,
+
+    "q48_weighted_sample" ->
       """SELECT lang, CAST(least(10, count(DISTINCT doc_id)) AS INT) AS sample_size,
         |  true AS deterministic, true AS members_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

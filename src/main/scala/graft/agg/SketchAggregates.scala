@@ -353,6 +353,56 @@ case class BkSampleAgg(
   override protected def withNewChildInternal(c: Expression): BkSampleAgg = copy(child = c)
 }
 
+/** `weighted_sample(col, weight, k)` — Efraimidis-Spirakis A-Res weighted
+  * distinct sample ([[graft.core.WeightedSample]]): k keys with
+  * inclusion probability scaling with weight, deterministic and
+  * bitwise merge-order-invariant (the weighted sibling of
+  * [[BkSampleAgg]]). Duplicates of a key take its MAXIMUM observed
+  * weight (distinct-key semantics — see the core scaladoc); non-positive
+  * weights are skipped like nulls.
+  */
+case class WeightedSampleAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WeightedSample]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] with GraftTypeCheck {
+
+  override def prettyName: String = "weighted_sample"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override protected def expectedTypes =
+    Seq(GraftTypeCheck.hashable, Seq(LongType, IntegerType))
+
+  override def createAggregationBuffer(): WeightedSample = WeightedSample.empty(k)
+
+  override def update(b: WeightedSample, input: InternalRow): WeightedSample = {
+    val key = left.eval(input)
+    val w = right.eval(input)
+    if (key != null && w != null) {
+      val kb = left.dataType match {
+        case StringType => key.asInstanceOf[UTF8String].getBytes
+        case BinaryType => key.asInstanceOf[Array[Byte]]
+        case _ => UTF8String.fromString(key.toString).getBytes
+      }
+      b.add(kb, w.asInstanceOf[Number].longValue())
+    }
+    b
+  }
+
+  override def merge(b: WeightedSample, o: WeightedSample): WeightedSample = b.mergeInPlace(o)
+  override def eval(b: WeightedSample): Any = b.serialize()
+  override def serialize(b: WeightedSample): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): WeightedSample = WeightedSample.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): WeightedSampleAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WeightedSampleAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WeightedSampleAgg =
+    copy(left = l, right = r)
+}
+
 /** `mg_sketch_weighted(col, weight, k)` — weighted Misra-Gries: heavy
   * hitters by TOTAL WEIGHT (bytes per domain, tokens per url) rather than
   * row count. Same published guarantees with n = total weight W:

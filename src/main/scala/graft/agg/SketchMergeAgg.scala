@@ -74,6 +74,13 @@ object BkOps extends SketchOps {
   def serialize(s: S): Array[Byte] = s.serialize()
   def merge(a: S, b: S): S = a.mergeInPlace(b)
 }
+object WsOps extends SketchOps {
+  type S = WeightedSample
+  val name = "ws"
+  def deserialize(b: Array[Byte]): S = WeightedSample.deserialize(b)
+  def serialize(s: S): Array[Byte] = s.serialize()
+  def merge(a: S, b: S): S = a.mergeInPlace(b)
+}
 object MgOps extends SketchOps {
   type S = MgSketch
   val name = "mg"

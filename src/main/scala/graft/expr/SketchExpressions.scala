@@ -714,6 +714,42 @@ case class BkValues(child: Expression)
   override protected def withNewChildInternal(c: Expression): BkValues = copy(c)
 }
 
+/** `ws_values(blob)` — the weighted sample's keys in priority order
+  * (deterministic). Per-blob, not per-row — plain eval.
+  */
+case class WsValues(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "ws_values"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any = {
+    val vs = WeightedSample.deserialize(blob.asInstanceOf[Array[Byte]]).values
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): WsValues = copy(c)
+}
+
+/** `ws_entries(blob)` — (key, weight) structs of a weighted sample in
+  * priority order.
+  */
+case class WsEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback with GraftTypeCheck {
+  override def prettyName: String = "ws_entries"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("weight", LongType, nullable = false))), containsNull = false)
+  override protected def expectedTypes = Seq(GraftTypeCheck.binary)
+  override def nullSafeEval(blob: Any): Any = {
+    val es = WeightedSample.deserialize(blob.asInstanceOf[Array[Byte]]).entries
+    val rows: Array[Any] = es.map { case (k, w) =>
+      org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(k), w)
+    }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): WsEntries = copy(c)
+}
+
 /** `mg_entries(blob)` — every retained (key, cnt_lo, cnt_hi) of a
   * Misra-Gries summary as an array of structs, count-desc/key-asc: the
   * pure-SQL heavy-hitter read (`... LATERAL VIEW explode(mg_entries(m))`)

@@ -28,4 +28,6 @@ private[graft] object GraftTypeCheck {
   val double: Seq[DataType] = Seq(DoubleType)
   val hashable: Seq[DataType] =
     Seq(StringType, BinaryType, LongType, IntegerType, ShortType, ByteType, DateType, TimestampType)
+  val floatArray: Seq[DataType] =
+    Seq(ArrayType(FloatType, containsNull = true), ArrayType(FloatType, containsNull = false))
 }

@@ -85,6 +85,15 @@ object functions {
   def bottomk_sample(c: Column, k: Int = 100): Column =
     col(BkSampleAgg(ex(c), k).toAggregateExpression())
 
+  /** Efraimidis-Spirakis (IPL 2006, A-Res) weighted distinct sample: k
+    * keys with inclusion probability scaling with weight, mergeable and
+    * bitwise deterministic at any parallelism ("k example domains,
+    * weighted by bytes"). Duplicates of a key take its max weight;
+    * non-positive weights are skipped.
+    */
+  def weighted_sample(c: Column, weight: Column, k: Int = 100): Column =
+    col(WeightedSampleAgg(ex(c), ex(weight.cast("long")), k).toAggregateExpression())
+
   // ----- blob re-aggregation (stage 2 of salted / checkpointed builds) -----
 
   def bloom_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BloomOps).toAggregateExpression())
@@ -96,6 +105,7 @@ object functions {
   def kll_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), KllOps).toAggregateExpression())
   def mg_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), MgOps).toAggregateExpression())
   def bk_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), BkOps).toAggregateExpression())
+  def ws_merge(blob: Column): Column = col(SketchMergeAgg(ex(blob), WsOps).toAggregateExpression())
 
   // ----- scalar probes -----
 
@@ -152,6 +162,18 @@ object functions {
   def mg_topk(blob: Column, j: Int): Column = col(MgTopK(ex(blob), Literal(j)))
   def mg_entries(blob: Column): Column = col(MgEntries(ex(blob)))
   def bk_values(blob: Column): Column = col(BkValues(ex(blob)))
+  def ws_values(blob: Column): Column = col(WsValues(ex(blob)))
+  def ws_entries(blob: Column): Column = col(WsEntries(ex(blob)))
+
+  // ----- embedding storage quantization -----
+
+  /** Symmetric per-vector int8 quantization of an `array<float>` column:
+    * 4× residency cut, reconstruction error ≤ scale/2 per component.
+    */
+  def vec_quantize_int8(v: Column): Column = col(VecQuantizeInt8(ex(v)))
+
+  /** Inverse of [[vec_quantize_int8]]: `q_i * scale` per component. */
+  def vec_dequantize_int8(sq: Column): Column = col(VecDequantizeInt8(ex(sq)))
 
   // ----- text sketches (dedup / fingerprinting) -----
 
@@ -265,7 +287,17 @@ object functions {
       MgWeightedSketchAgg(es(0),
         if (es(1).dataType == org.apache.spark.sql.types.LongType) es(1)
         else org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
-        if (es.length > 2) intLit(es(2), "k") else 64).toAggregateExpression()))
+        if (es.length > 2) intLit(es(2), "k") else 64).toAggregateExpression()),
+    "weighted_sample" -> ((es: Seq[Expression]) =>
+      WeightedSampleAgg(es(0),
+        if (es(1).dataType == org.apache.spark.sql.types.LongType) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
+        if (es.length > 2) intLit(es(2), "k") else 100).toAggregateExpression()),
+    "ws_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), WsOps).toAggregateExpression()),
+    "ws_values" -> ((es: Seq[Expression]) => WsValues(es(0))),
+    "ws_entries" -> ((es: Seq[Expression]) => WsEntries(es(0))),
+    "vec_quantize_int8" -> ((es: Seq[Expression]) => VecQuantizeInt8(es(0))),
+    "vec_dequantize_int8" -> ((es: Seq[Expression]) => VecDequantizeInt8(es(0))))
 
   /** Register all graft functions in a session's catalog for SQL use. */
   def register(spark: SparkSession): Unit = sqlFunctions.foreach { case (name, builder) =>
