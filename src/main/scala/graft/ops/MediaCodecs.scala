@@ -312,7 +312,10 @@ object MediaCodecs {
   }
 
   /** Decode frame `idx` without materializing the other frames (seek by
-    * length prefixes — the point of the container format).
+    * length prefixes — the point of the container format). Frames
+    * dispatch through [[decodeImage]], so a GVID container of JPEG
+    * frames IS the MJPEG class of motion formats, decoded end-to-end by
+    * the JDK; only interframe codecs (H.264…) remain out of scope.
     */
   def decodeGvidFrame(bytes: Array[Byte], idx: Int): Option[Image] = {
     val count = gvidFrameCount(bytes)
@@ -333,7 +336,9 @@ object MediaCodecs {
     if (off + 4 > bytes.length) return None
     val len = ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
     if (len < 0 || len > bytes.length - off - 4) return None
-    decodePpm(bytes, off + 4, len)
+    if (len >= 2 && bytes(off + 4) == 'P' && bytes(off + 5) == '6')
+      decodePpm(bytes, off + 4, len) // zero-copy fast path for raw frames
+    else decodeImageIO(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
   }
 
   /** Nearest-neighbor resize on decoded pixels (the standard cheap

@@ -89,6 +89,28 @@ object StreamingSketch {
       () => graft.core.BkSample.empty(k), (s, key) => s.add(key),
       _.serialize(), graft.core.BkSample.deserialize, _.totalAdds)
 
+  /** Streaming weighted audit sample: per-group Efraimidis-Spirakis
+    * samples folded per micro-batch. Input: (group, key, weight). The
+    * fold is the batch exact monoid, so the streamed blob equals the
+    * batch blob over the same rows, bitwise.
+    */
+  def weightedSamplePerGroup(keyed: Dataset[(String, String, Long)], k: Int): Dataset[SketchUpdate] = {
+    implicit val updEnc = Encoders.product[SketchUpdate]
+    implicit val strEnc = Encoders.STRING
+    implicit val binEnc = Encoders.BINARY
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[(String, String, Long)], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption.map(graft.core.WeightedSample.deserialize)
+            .getOrElse(graft.core.WeightedSample.empty(k))
+          rows.foreach { case (_, key, w) => if (key != null) sketch.add(key, w) }
+          val blob = sketch.serialize()
+          state.update(blob)
+          Iterator.single(SketchUpdate(group, blob, sketch.totalAdds))
+      }
+  }
+
   /** Same shape for HLL distinct-count sketches. */
   def hllPerGroup(keyed: Dataset[(String, String)], precision: Int = 14): Dataset[SketchUpdate] = {
     implicit val updEnc = Encoders.product[SketchUpdate]

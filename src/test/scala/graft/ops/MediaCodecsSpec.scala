@@ -185,6 +185,31 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
   }
 
+  test("GVID with compressed frames: MJPEG-class video decodes end-to-end") {
+    val w = 24; val h = 16
+    def rgb(seed: Long) = Multimodal.patternRgb(seed, w, h)
+    // mixed container: PNG, JPEG and raw P6 frames side by side
+    val gvid = MediaCodecs.encodeGvid(Seq(
+      MediaCodecs.encodePng(w, h, rgb(1L)),
+      MediaCodecs.encodeJpeg(w, h, rgb(2L)),
+      MediaCodecs.encodePpm(w, h, rgb(3L))))
+    assert(MediaCodecs.gvidFrameCount(gvid).contains(3))
+    // PNG frame: exact pixels back
+    val f0 = MediaCodecs.decodeGvidFrame(gvid, 0).get
+    assert(f0.width == w && f0.height == h)
+    assert(java.util.Arrays.equals(f0.rgb, rgb(1L)))
+    // JPEG frame: decodes with right dimensions (lossy pixels)
+    val f1 = MediaCodecs.decodeGvidFrame(gvid, 1).get
+    assert(f1.width == w && f1.height == h)
+    // raw frame still on the zero-copy fast path
+    assert(java.util.Arrays.equals(MediaCodecs.decodeGvidFrame(gvid, 2).get.rgb, rgb(3L)))
+    // corrupt compressed frame fails cleanly
+    val broken = MediaCodecs.encodeGvid(Seq({
+      val b = MediaCodecs.encodePng(w, h, rgb(4L)); b(0) = 0; b
+    }))
+    assert(MediaCodecs.decodeGvidFrame(broken, 0).isEmpty)
+  }
+
   test("AudioSystem leg: stereo WAV downmixes exactly; canonical stays on the fast path") {
     val n = 500
     val l = Array.tabulate(n)(i => ((i * 37) % 20000 - 10000).toShort)

@@ -115,4 +115,29 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(mg.topK(1).head == "hot")
     } finally query.stop()
   }
+
+  test("streamed weighted sample == batch build, bitwise (exact monoid)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val updates = StreamingSketch.weightedSamplePerGroup(input.toDS(), 12)
+    val query = updates.writeStream
+      .format("memory").queryName("ws_updates").outputMode("update").start()
+    try {
+      def mk(lo: Int, hi: Int) = (lo until hi).map(i =>
+        (s"g${i % 2}", s"dom$i", 1L + (i % 37).toLong))
+      input.addData(mk(0, 500): _*)
+      query.processAllAvailable()
+      input.addData(mk(500, 1200): _*)
+      query.processAllAvailable()
+      val latest = spark.table("ws_updates")
+        .groupBy($"group").agg(max(struct($"elementsAdded", $"sketch")).as("s"))
+        .select($"group", $"s.sketch").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val ref = mk(0, 1200).toDF("group", "k", "w")
+        .groupBy($"group").agg(graft.functions.weighted_sample($"k", $"w", 12).as("sketch"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(latest.keySet == ref.keySet && latest.keySet == Set("g0", "g1"))
+      latest.foreach { case (g, blob) => assert(blob.toSeq == ref(g).toSeq, s"group $g not bitwise") }
+    } finally query.stop()
+  }
 }
