@@ -435,6 +435,22 @@ case class ThetaIntersectExpr(left: Expression, right: Expression) extends Theta
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaIntersectExpr = copy(l, r)
 }
 
+/** `theta_jaccard(a, b)` — estimated Jaccard index of the two key sets:
+  * `estimate(A ∩ B) / estimate(A ∪ B)` (1.0 when both sets are empty —
+  * the reference's `bloom_filter_jaccard_index` convention,
+  * `bloom.c:382-392`, lifted from bit-space to KMV sample space).
+  */
+case class ThetaJaccard(left: Expression, right: Expression) extends ThetaSetOp {
+  override def prettyName: String = "theta_jaccard"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = sketches(a, b)
+    val u = x.union(y).estimate
+    if (u <= 0.0) 1.0 else x.intersect(y).estimate / u
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaJaccard = copy(l, r)
+}
+
 /** `theta_a_not_b(a, b)` — difference estimate sketch. */
 case class ThetaANotB(left: Expression, right: Expression) extends ThetaSetOp {
   override def prettyName: String = "theta_a_not_b"

@@ -135,6 +135,7 @@ object functions {
   def theta_union(a: Column, b: Column): Column = col(ThetaUnionExpr(ex(a), ex(b)))
   def theta_intersect(a: Column, b: Column): Column = col(ThetaIntersectExpr(ex(a), ex(b)))
   def theta_a_not_b(a: Column, b: Column): Column = col(ThetaANotB(ex(a), ex(b)))
+  def theta_jaccard(a: Column, b: Column): Column = col(ThetaJaccard(ex(a), ex(b)))
 
   def cms_query(blob: Column, key: Column): Column = col(CmsQuery(ex(blob), ex(key)))
 
@@ -240,6 +241,7 @@ object functions {
     "theta_union" -> ((es: Seq[Expression]) => ThetaUnionExpr(es(0), es(1))),
     "theta_intersect" -> ((es: Seq[Expression]) => ThetaIntersectExpr(es(0), es(1))),
     "theta_a_not_b" -> ((es: Seq[Expression]) => ThetaANotB(es(0), es(1))),
+    "theta_jaccard" -> ((es: Seq[Expression]) => ThetaJaccard(es(0), es(1))),
     "bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), BloomOps).toAggregateExpression()),
     "counting_bloom_merge" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), CountingBloomOps).toAggregateExpression()),
     "hll_merge_agg" -> ((es: Seq[Expression]) => SketchMergeAgg(es(0), HllOps).toAggregateExpression()),

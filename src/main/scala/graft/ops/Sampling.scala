@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{bk_values, bottomk_sample}
+import graft.functions.{bk_values, bottomk_sample, weighted_sample, ws_values}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,36 @@ object Sampling {
       case None =>
         val sampled = df.select(id)
           .agg(bk_values(bottomk_sample(col("__graft_id"), k)).as("__graft_vals"))
+        val ids = sampled.select(explode(col("__graft_vals")).as("__graft_id"))
+        df.join(broadcast(ids.distinct()),
+          col(idCol).cast("string") === col("__graft_id"), "left_semi")
+    }
+  }
+
+  /** Weighted [[exampleRows]]: ids sampled with probability scaling with
+    * `weightCol` (Efraimidis-Spirakis A-Res — "show me k example
+    * documents per language, weighted by token count"). Same plan shape:
+    * one blob pass, then a broadcast semi-join keyed on (group, id). An
+    * id appearing on several rows takes its MAX weight (the sample's
+    * distinct-key contract); rows with non-positive weight never sample.
+    */
+  def exampleRowsWeighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                          groupCol: Option[String] = None): DataFrame = {
+    val id = col(idCol).cast("string").as("__graft_id")
+    val w = col(weightCol).cast("long").as("__graft_w")
+    groupCol match {
+      case Some(g) =>
+        val sampled = df.select(col(g).as("__graft_g"), id, w)
+          .groupBy(col("__graft_g"))
+          .agg(ws_values(weighted_sample(col("__graft_id"), col("__graft_w"), k)).as("__graft_vals"))
+        val ids = sampled.select(col("__graft_g"),
+          explode(col("__graft_vals")).as("__graft_id"))
+        df.join(broadcast(ids.distinct()),
+          col(idCol).cast("string") === col("__graft_id") &&
+            df(g) <=> col("__graft_g"), "left_semi")
+      case None =>
+        val sampled = df.select(id, w)
+          .agg(ws_values(weighted_sample(col("__graft_id"), col("__graft_w"), k)).as("__graft_vals"))
         val ids = sampled.select(explode(col("__graft_vals")).as("__graft_id"))
         df.join(broadcast(ids.distinct()),
           col(idCol).cast("string") === col("__graft_id"), "left_semi")

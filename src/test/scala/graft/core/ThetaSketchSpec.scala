@@ -89,4 +89,29 @@ class ThetaSketchSpec extends AnyFunSuite {
     a.add("x"); b.add("x")
     assertThrows[IllegalArgumentException](a.mergeInPlace(b))
   }
+
+  test("theta_jaccard estimates |A∩B|/|A∪B| within sampling error; empty→1.0") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions.lit
+    def blobOf(lo: Int, hi: Int): Array[Byte] = {
+      val s = ThetaSketch.empty(4096)
+      (lo until hi).foreach(i => s.add(s"k$i"))
+      s.serialize()
+    }
+    // |A|=60k, |B|=60k, overlap 20k: J = 20k/100k = 0.2
+    val a = blobOf(0, 60000)
+    val b = blobOf(40000, 100000)
+    val j = spark.range(1)
+      .select(graft.functions.theta_jaccard(lit(a), lit(b)).as("j"))
+      .head.getDouble(0)
+    assert(math.abs(j - 0.2) <= 0.03, s"jaccard est $j far from 0.2")
+    // identical sets → ~1; disjoint → ~0; both empty → exactly 1.0
+    val j2 = spark.range(1).select(
+      graft.functions.theta_jaccard(lit(a), lit(a)).as("s"),
+      graft.functions.theta_jaccard(lit(blobOf(0, 1000)), lit(blobOf(5000, 6000))).as("d"),
+      graft.functions.theta_jaccard(lit(blobOf(0, 0)), lit(blobOf(0, 0))).as("e")).head
+    assert(j2.getDouble(0) == 1.0)
+    assert(j2.getDouble(1) == 0.0)
+    assert(j2.getDouble(2) == 1.0)
+  }
 }

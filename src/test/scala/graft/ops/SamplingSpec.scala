@@ -56,4 +56,21 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("exampleRowsWeighted: heavy ids dominate; deterministic; group-keyed") {
+    val df = spark.range(400).select(
+      (col("id") % 2).cast("string").as("g"), col("id"),
+      when(col("id") % 100 === 0, lit(100000L)).otherwise(lit(1L)).as("w"))
+    val got = Sampling.exampleRowsWeighted(df, "id", "w", 4, Some("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 4 rows per group, and the overwhelming-weight ids (0,100,200,300 —
+    // two per parity group) are effectively certain to be sampled
+    assert(got.length == 8)
+    val ids = got.map(_._2).toSet
+    assert(Set(0L, 100L, 200L, 300L).subsetOf(ids), ids.toString)
+    // deterministic across partitionings
+    val again = Sampling.exampleRowsWeighted(df.repartition(13), "id", "w", 4, Some("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.toSet)
+  }
 }
