@@ -90,6 +90,9 @@ object SketchJob {
       theta_sketch(kc, 4096).as("theta"), // distinct WITH set algebra across runs/groups
       cms_sketch(kc, 0.0001, 0.01).as("cms"),
       mg_sketch(kc, 64).as("mg"), // hot keys + counts, single pass, no groupBy
+      bottomk_sample(kc, 100).as("bk"), // uniform audit sample of distinct keys
+      // weighted audit sample: inclusion scales with the numeric metric
+      weighted_sample(kc, greatest(num.cast("long"), lit(1L)), 100).as("ws"),
 
       tdigest_sketch(num, 100.0).as("tdigest"),
       kll_sketch(num, 200).as("kll"),
@@ -113,6 +116,8 @@ object SketchJob {
           theta_merge(col("theta")).as("theta"),
           cms_merge(col("cms")).as("cms"),
           mg_merge(col("mg")).as("mg"),
+          bk_merge(col("bk")).as("bk"),
+          ws_merge(col("ws")).as("ws"),
           tdigest_merge(col("tdigest")).as("tdigest"),
           kll_merge(col("kll")).as("kll"),
           sum(col("rows")).as("rows"))

@@ -59,6 +59,31 @@ class DedupClusterSpec extends AnyFunSuite {
       s"took $iters rounds for a $n-node path")
   }
 
+  test("5k-node graph with giant + medium + singleton components matches union-find") {
+    // one giant chain of 2000 nodes (worst-case diameter), 100 medium
+    // 10-node rings, plus pseudo-random cross edges inside each block
+    val chain = (0L until 1999L).map(i => (i, i + 1))
+    val rings = (0 until 100).flatMap { r =>
+      val base = 10000L + r * 10
+      (0 until 10).map(i => (base + i, base + (i + 1) % 10))
+    }
+    val extra = (0 until 500).map { i =>
+      val h = graft.core.Fnv.splitmix64(77L + i)
+      val a = java.lang.Long.remainderUnsigned(h, 2000L)
+      val b = java.lang.Long.remainderUnsigned(h >>> 17, 2000L)
+      (a, b)
+    }.filter(e => e._1 != e._2)
+    val edges = chain ++ rings ++ extra
+    val want = ufComponents(edges)
+    val (mapping, iters) = Dedup.resolveClustersInternal(
+      edges.toDF("id_a", "id_b").repartition(16), "id_a", "id_b", 50)
+    val got = mapping.as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.values.toSet.size == 101) // giant + 100 rings
+    assert(iters <= 2 + 2 * (math.log(2000.0) / math.log(2)).ceil.toInt,
+      s"took $iters rounds")
+  }
+
   test("chained A~B~C with A!~C: one transitive cluster, min-id rep") {
     // the defining transitivity case: only consecutive pairs are edges
     val edges = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("id_a", "id_b")
