@@ -119,7 +119,13 @@ object Bench {
       var second = Double.MaxValue
       var blobs: Seq[Array[Byte]] = null
       var i = 0
-      while (i < 5 && (i < 2 || second > best * 1.15)) {
+      // the hi level needs a clean ~15 s window and storms flip on minute
+      // timescales (round-4 observation: not visible in steal time, also
+      // slows single-thread ~2x, windows last minutes) — give it up to 8
+      // sessions to catch one; the lo level's longer reps average storms
+      // out and converge fast
+      val cap = if (cores == nHi) 8 else 5
+      while (i < cap && (i < 2 || second > best * 1.15)) {
         val s = session(cores)
         System.gc()
         s.range(20000000L).selectExpr("count(id)").head
