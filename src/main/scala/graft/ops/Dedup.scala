@@ -360,28 +360,40 @@ object Dedup {
         greatest(col(idACol), col(idBCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    var count = e.count()
+    // one pass per table: (row count, order-invariant 64-bit checksum).
+    // Unequal stats ⇒ definitely-different edge sets, so the common
+    // still-converging rounds skip the exceptAll confirmation jobs
+    // entirely; equal stats get CONFIRMED exactly below (a checksum
+    // collision can cost one extra confirmation scan, never correctness).
+    def stats(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-invariant, overflow-free (ANSI-safe) over the
+      // DISTINCT edge table — duplicate-cancellation cannot bite
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eStats = stats(e)
     var iters = 0
-    var converged = count == 0L
-    // set equality between two DISTINCT tables: equal counts + empty
-    // difference ⇒ equal sets (one narrow anti-join per check)
-    def sameSet(a: DataFrame, ca: Long, b: DataFrame, cb: Long): Boolean =
-      ca == cb && a.exceptAll(b).limit(1).count() == 0L
+    var converged = eStats._1 == 0L
+    // exact set equality for two DISTINCT equal-stats tables: empty
+    // difference + equal counts ⇒ equal sets (one narrow anti-join)
+    def confirm(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).limit(1).count() == 0L
     while (!converged) {
       if (iters >= maxIterations)
         throw new IllegalStateException(
           s"resolveClusters did not converge in $maxIterations rounds " +
             "(theoretical bound O(log^2 n) — raise maxIterations)")
       val ls = pin(largeStar(e))
-      val cls = ls.count()
+      val lsStats = stats(ls)
       val e2 = pin(smallStar(ls))
-      val c2 = e2.count()
+      val e2Stats = stats(e2)
       // converged only when BOTH transforms are at their own fixpoint —
       // exactly the disjoint-min-star terminal state of SoCC 2014 (a
       // composition-only check could accept an oscillating non-star set)
-      converged = sameSet(ls, cls, e, count) && sameSet(e2, c2, ls, cls)
+      converged = eStats == lsStats && lsStats == e2Stats &&
+        confirm(ls, e) && confirm(e2, ls)
       e = e2
-      count = c2
+      eStats = e2Stats
       iters += 1
     }
     // stars: leaves map to their center, centers to themselves
@@ -411,6 +423,36 @@ object Dedup {
     val mapping = resolveClusters(pairs.select(col("id_a"), col("id_b")))
     val drop = mapping.filter(col("id") =!= col("rep_id")).select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[nearDedup]] with an explicit keep policy: per transitive cluster
+    * keep the row MAXIMIZING `scoreCol` (ties → smallest id) — the
+    * RefinedWeb-style "keep the longest / highest-quality document"
+    * verdict instead of the min-id default. Rows in no cluster pass
+    * through untouched.
+    *
+    * Scale shape: identical to [[nearDedup]] plus one window over the
+    * CLUSTERED rows only (`clusters ≪ corpus` rows shuffle on rep_id).
+    */
+  def nearDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                        scoreCol: Column,
+                        numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                        threshold: Double = 0.7, maxBandFreq: Long = 1000L,
+                        sigStore: Store = Store.Cache): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
+      shingleWidth, threshold, maxBandFreq, sigStore)
+    val mapping = resolveClusters(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("__graft_cid"), col("rep_id").as("__graft_rep"))
+    val clustered = df.join(mapping, df(idCol) === col("__graft_cid"))
+    val w = Window.partitionBy(col("__graft_rep"))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    val best = clustered.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .select(df.columns.map(clustered(_)): _*)
+    val unclustered = df.join(mapping.select(col("__graft_cid").as(idCol)),
+      Seq(idCol), "left_anti")
+    unclustered.unionByName(best)
   }
 
   /** Paragraph-level boilerplate removal (the ccnet/RefinedWeb pipeline

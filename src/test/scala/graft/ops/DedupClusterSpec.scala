@@ -107,6 +107,28 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(m.count() == 0)
   }
 
+  test("nearDedupKeepBest keeps the argmax-score row per cluster, not the min id") {
+    val words = (0 until 80).map(i => s"w${graft.core.Fnv.splitmix64(i.toLong) & 0xffff}")
+    def windowText(start: Int, extra: Int): String =
+      (words.slice(start, start + 40) ++ Seq.fill(extra)("pad")).mkString(" ")
+    val rows = Seq(
+      // near chain where the LONGEST doc has the LARGEST id
+      (1L, windowText(0, 0)), (2L, windowText(1, 0)), (3L, windowText(2, 3)),
+      // exact class: all texts identical, equal scores -> min id tiebreak
+      (10L, "same page " * 10), (11L, "same page " * 10),
+      (20L, "unrelated solitary document about nothing"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupKeepBest(rows, "doc_id", "text",
+        length(col("text")), threshold = 0.6)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L, 20L), kept.toString) // 3 = longest in its cluster
+    // schema preserved, one row per survivor
+    val full = Dedup.nearDedupKeepBest(rows, "doc_id", "text",
+      length(col("text")), threshold = 0.6)
+    assert(full.columns.toSeq == Seq("doc_id", "text"))
+    assert(full.count() == 3)
+  }
+
   test("nearDedup end-to-end: exact classes + near chains each keep ONE min-id rep") {
     val words = (0 until 80).map(i => s"w${graft.core.Fnv.splitmix64(i.toLong) & 0xffff}")
     def windowText(start: Int): String = words.slice(start, start + 40).mkString(" ")
