@@ -190,6 +190,46 @@ class PropertiesSpec extends AnyFunSuite {
       fold(parts) == golden && fold(parts.reverse) == golden
     })
   }
+
+  test("weighted sample: partition/merge-order invariance, bottom-k law, max-weight dup semantics") {
+    val wGen = Gen.choose(1L, 1000L)
+    val itemsGen = Gen.nonEmptyListOf(Gen.zip(keyGen, wGen))
+    check(Prop.forAll(itemsGen, Gen.choose(1, 20), Gen.choose(1, 6)) { (items, k, chunks) =>
+      val serial = WeightedSample.empty(k)
+      items.foreach { case (key, w) => serial.add(key, w) }
+      val golden = serial.serialize()
+      // any chunking, forward and reverse merge order → bitwise identical
+      val parts = items.grouped(math.max(1, items.size / chunks)).map { c =>
+        val p = WeightedSample.empty(k); c.foreach { case (key, w) => p.add(key, w) }; p
+      }.toVector
+      val fwd = parts.map(p => WeightedSample.deserialize(p.serialize()))
+        .reduceLeft((a, b) => a.mergeInPlace(b)).serialize()
+      val rev = parts.reverse.map(p => WeightedSample.deserialize(p.serialize()))
+        .reduceLeft((a, b) => a.mergeInPlace(b)).serialize()
+      // bottom-k law: sample = k smallest A-Res priorities over per-key MAX weight
+      val perKeyMax = items.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expect = perKeyMax.toSeq
+        .sortBy { case (key, w) => (WeightedSample.testPriority(key, w), key) }
+        .take(k).map(_._1).toSet
+      java.util.Arrays.equals(fwd, golden) && java.util.Arrays.equals(rev, golden) &&
+        serial.values.toSet == expect
+    })
+  }
+
+  test("mg sketch byte-key store: string and UTF-8-byte adds are interchangeable, bound holds") {
+    check(Prop.forAll(keysGen, Gen.choose(1, 16)) { (xs, k) =>
+      val a = MgSketch.empty(k)
+      val b = MgSketch.empty(k)
+      xs.foreach(x => a.add(x))
+      xs.foreach(x => b.add(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      java.util.Arrays.equals(a.serialize(), b.serialize()) &&
+        a.errorBound <= a.totalCount / (k + 1) &&
+        exact.forall { case (key, cnt) =>
+          val est = a.estimate(key); est <= cnt && est >= cnt - a.errorBound
+        }
+    })
+  }
 }
 
 /** Pluggable-hasher seam (bloom.h:42,54; swap = bloom.c:89-91): a custom
