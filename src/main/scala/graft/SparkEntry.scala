@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions._
-import graft.ops.{Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, MediaCodecs, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.SketchPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -901,6 +901,68 @@ object SparkEntry {
     // --- int8 embedding quantization: 4x storage residency with
     // reconstruction error <= scale/2 per component, exact idempotent
     // re-quantization, length preservation — all verified per vector ---
+    // --- quantized-corpus ANN read path: the int8 struct column feeds
+    // lshTopK directly (dequantize runs INSIDE the bucketing/scoring
+    // stages — the candidate exchange still ships ids only), and the
+    // quantized search loses at most a few borderline pairs vs the float
+    // path (the documented ≤2% cosine fidelity) ---
+    "q50_quantized_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val quant = emb.select(col("vec_id"),
+        vec_quantize_int8(col("embedding")).as("embedding"))
+      val quantQ = quant.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val total = brute.count
+      val hitsF = Similarity.lshTopK(emb, q, "vec_id", "embedding", 10, 4, 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count
+      val hitsQ = Similarity.lshTopK(quant, quantQ, "vec_id", "embedding", 10, 4, 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count
+      brute.unpersist()
+      // quantized recall within 5 points of the float path AND usable
+      Seq((q.count, 10, total,
+        hitsQ.toDouble / total >= hitsF.toDouble / total - 0.05,
+        hitsQ.toDouble / total >= 0.55))
+        .toDF("queries", "k", "brute_pairs", "recall_close_to_float", "recall_ok")
+    }),
+
+    // --- sum-weight sampling: weightedSampleByTotal pre-aggregates
+    // per-key totals (groupBy.sum — the sum-semantics complement to the
+    // sample's max-weight contract), k > #langs returns EVERY lang with
+    // its exact total (deterministic, oracle-checkable); the small-k
+    // property (bottom-k by A-Res priority over the totals) is verified
+    // against a local oracle and returned as a boolean ---
+    "q51_weighted_total" -> ((s, dir) => {
+      import s.implicits._
+      val d = T(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") + 1).cast("long").as("w"))
+      val all = Sampling.weightedSampleByTotal(d, "lang", "w", 1000)
+      val totals = all.as[(String, Long)].collect()
+      val wantSmall = totals
+        .sortBy { case (k, w) => (graft.core.WeightedSample.testPriority(k, w), k) }
+        .take(3).map(_._1).toSet
+      val gotSmall = Sampling.weightedSampleByTotal(d, "lang", "w", 3)
+        .as[(String, Long)].collect().map(_._1).toSet
+      all.withColumn("small_k_ok", lit(gotSmall == wantSmall))
+        .orderBy(col("lang"))
+    }),
+
+    // --- cross-snapshot duplicate-mass pre-flight: theta sketches of the
+    // content fingerprints, KMV set algebra on the two blobs. nominalK
+    // 16384 > distinct contents at every test SF -> exact mode, so every
+    // estimate is the true distinct count and the ratios divide exactly
+    // the same integers the oracle divides ---
+    "q52_snapshot_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val snapA = docs.filter(col("doc_id") % 2 === 0)
+      val snapB = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.snapshotOverlap(snapA, snapB, "text", 16384)
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1251,6 +1313,29 @@ object SparkEntry {
       """SELECT lang, CAST(least(10, count(DISTINCT doc_id)) AS INT) AS sample_size,
         |  true AS deterministic, true AS members_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q50_quantized_ann" ->
+      """SELECT CAST(count(*) AS BIGINT) AS queries, 10 AS k,
+        | CAST(count(*) * 10 AS BIGINT) AS brute_pairs,
+        | true AS recall_close_to_float, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "q51_weighted_total" ->
+      """SELECT lang, CAST(sum(n_chars + 1) AS BIGINT) AS total_weight,
+        | true AS small_k_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q52_snapshot_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+        | b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+        | n AS (SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS na,
+        |   CAST((SELECT count(*) FROM b) AS BIGINT) AS nb,
+        |   CAST((SELECT count(*) FROM a JOIN b USING (text)) AS BIGINT) AS ni)
+        |SELECT na AS est_a, nb AS est_b, ni AS est_intersect,
+        | na + nb - ni AS est_union,
+        | CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard,
+        | CAST(ni AS DOUBLE) / (CASE WHEN nb > 1 THEN CAST(nb AS DOUBLE) ELSE 1.0 END) AS dup_frac_b
+        |FROM n""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,

@@ -281,6 +281,10 @@ object MgSketch {
     val total = bb.getLong()
     val delta = bb.getLong()
     val n = bb.getInt()
+    // a compressed summary never carries more than k entries; without
+    // this bound a corrupt blob with n > capacity fills every table slot
+    // and the next slotOf() probe loops forever instead of failing fast
+    require(n >= 0 && n <= k, s"corrupt Misra-Gries blob: $n entries exceeds k=$k")
     val s = empty(k)
     var i = 0
     while (i < n) {

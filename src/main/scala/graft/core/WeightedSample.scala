@@ -36,8 +36,10 @@ final class WeightedSample private (
     val k: Int,
     // (priority, key bytes, weight) ordered by (priority asc, key)
     private val entries0: java.util.TreeSet[(Double, Array[Byte], Long)],
-    // content-keyed index of the same entries (key-level dedup)
-    private val index: java.util.HashMap[ByteBuffer, (Double, Array[Byte], Long)],
+    // content-keyed index of the same entries (key-level dedup); the key
+    // wrapper is Serializable (unlike ByteBuffer) so a driver-built
+    // sample survives closure/Encoder serialization intact
+    private val index: java.util.HashMap[WeightedSample.BytesKey, (Double, Array[Byte], Long)],
     private var _adds: Long
 ) extends Serializable {
 
@@ -60,14 +62,19 @@ final class WeightedSample private (
   /** Insert/improve an entry; maintains bottom-k. */
   private def offer(key: Array[Byte], weight: Long, p: Double,
                     copyOnInsert: Boolean): Unit = {
-    val wrapped = ByteBuffer.wrap(key)
+    val wrapped = new WeightedSample.BytesKey(key)
     val cur = index.get(wrapped)
     if (cur != null) {
-      if (p < cur._1) { // larger weight observed: priority improves
+      // larger weight observed: priority improves. The weight tie-break
+      // covers priority COLLISIONS (two distinct weights whose -ln(u)/w
+      // rounds to the same double — relative weight gap < ~2^-53): the
+      // stored weight must still be the max observed, independent of
+      // merge order, or ws_entries output becomes partitioning-dependent.
+      if (p < cur._1 || (p == cur._1 && weight > cur._3)) {
         entries0.remove(cur)
         val e = (p, cur._2, weight)
         entries0.add(e)
-        index.put(ByteBuffer.wrap(cur._2), e)
+        index.put(new WeightedSample.BytesKey(cur._2), e)
       }
       return
     }
@@ -76,11 +83,11 @@ final class WeightedSample private (
       val kb = if (copyOnInsert) key.clone() else key
       val e = (p, kb, weight)
       entries0.add(e)
-      index.put(ByteBuffer.wrap(kb), e)
+      index.put(new WeightedSample.BytesKey(kb), e)
       if (entries0.size > k) {
         val worst = entries0.last()
         entries0.remove(worst)
-        index.remove(ByteBuffer.wrap(worst._2))
+        index.remove(new WeightedSample.BytesKey(worst._2))
       }
     }
   }
@@ -140,6 +147,17 @@ object WeightedSample {
   /** 'W''S' + format version 1. */
   private[core] val Magic: Int = 0x57530001
 
+  /** Serializable content-keyed wrapper for the index map (ByteBuffer's
+    * content equals/hashCode without its non-Serializable baggage).
+    */
+  private[core] final class BytesKey(val bytes: Array[Byte]) extends Serializable {
+    override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case that: BytesKey => java.util.Arrays.equals(bytes, that.bytes)
+      case _ => false
+    }
+  }
+
   /** A-Res key: `-ln(u)/w` with deterministic `u ∈ (0,1)` from the key
     * hash (seed 1 — independent of [[BkSample]]'s unweighted priority).
     * Doubles merge bitwise across partitions because the same (key, w)
@@ -167,7 +185,7 @@ object WeightedSample {
     require(k >= 1, "k must be >= 1")
     new WeightedSample(k,
       new java.util.TreeSet[(Double, Array[Byte], Long)](ord),
-      new java.util.HashMap[ByteBuffer, (Double, Array[Byte], Long)](k * 2), 0L)
+      new java.util.HashMap[BytesKey, (Double, Array[Byte], Long)](k * 2), 0L)
   }
 
   def deserialize(bytes: Array[Byte]): WeightedSample = {

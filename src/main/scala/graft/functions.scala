@@ -88,8 +88,12 @@ object functions {
   /** Efraimidis-Spirakis (IPL 2006, A-Res) weighted distinct sample: k
     * keys with inclusion probability scaling with weight, mergeable and
     * bitwise deterministic at any parallelism ("k example domains,
-    * weighted by bytes"). Duplicates of a key take its max weight;
-    * non-positive weights are skipped.
+    * weighted by bytes"). Duplicates of a key take its MAX observed
+    * weight — NOT the sum (summing would break mergeability: an evicted
+    * key's partial weight would be lost); for per-key-constant weights
+    * max IS the weight, and for "weight = total over rows" pre-aggregate
+    * first ([[graft.ops.Sampling.weightedSampleByTotal]] does exactly
+    * that). Non-positive weights are skipped.
     */
   def weighted_sample(c: Column, weight: Column, k: Int = 100): Column =
     col(WeightedSampleAgg(ex(c), ex(weight.cast("long")), k).toAggregateExpression())

@@ -290,8 +290,9 @@ object Dedup {
     * Algorithm: alternating large-star / small-star min-label rounds
     * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SoCC 2014) — each round is two
-    * node-keyed window passes over the edge table, NEVER a driver-side
-    * union-find, so a component larger than any single machine's memory
+    * node-keyed partial-aggregation passes over the edge table (see
+    * [[largeStar]]'s skew contract), NEVER a driver-side union-find, so a
+    * component larger than any single machine's memory
     * (the web-boilerplate case) still resolves. Converges in O(log n)
     * rounds on real graphs (paper bound O(log² n)); each round's edge
     * table is persisted and the previous one released, so the only
@@ -314,10 +315,45 @@ object Dedup {
   /** [[resolveClusters]] + the number of star rounds run (test surface for
     * the O(log n) convergence claim).
     */
+  /** One large-star round: symmetrize, then per node `a` connect each
+    * LARGER neighbor `b` to `m = min(N(a) ∪ {a})`; `m <= a < b` keeps
+    * edges canonical (u < v, distinct).
+    *
+    * Skew contract: the neighborhood minimum is a partial-aggregating
+    * `groupBy(a).min` joined back to the edges — NEVER a
+    * `Window.partitionBy(a)`. A window funnels ALL rows of a partition
+    * key through one task with no map-side combine, so a mega-star (the
+    * web-template cluster: 10^8 near-identical pages) would serialize
+    * its entire adjacency through a single straggler every round. The
+    * groupBy collapses the hot key to one row per input partition before
+    * its shuffle, and the join-back is a JOIN — AQE skew-split applies.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("m").as("u"), col("b").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round on canonical edges (u < v): per node `v`
+    * connect each smaller neighbor `u` (and `v` itself) to `m` = min of
+    * v's smaller neighborhood; emitted edges (m, x) with m < x stay
+    * canonical. Same groupBy+join-back skew contract as [[largeStar]].
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
+    val wm = e.join(mins, "v")
+    wm.filter(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+      .unionAll(wm.select(col("m").as("u"), col("v")))
+      .distinct()
+  }
+
   private[graft] def resolveClustersInternal(edges: DataFrame, idACol: String,
       idBCol: String, maxIterations: Int): (DataFrame, Int) = {
-    import org.apache.spark.sql.expressions.Window
-
     // Materialize AND truncate lineage each round: a plain persist keeps
     // the full logical plan, and every round references the previous
     // round's plan ~5× (sym union, window, except) — the analysis tree
@@ -327,32 +363,6 @@ object Dedup {
     def pin(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-
-    // canonical undirected edges u < v, no self-loops/nulls/duplicates
-    def canon(df: DataFrame): DataFrame = df.distinct()
-
-    // large-star: symmetrize, then per node a connect each larger
-    // neighbor b to m = min(N(a) ∪ {a}); m <= a < b keeps edges canonical
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-      val w = Window.partitionBy(col("a"))
-      canon(sym
-        .select(col("a"), col("b"), least(min(col("b")).over(w), col("a")).as("m"))
-        .filter(col("b") > col("a"))
-        .select(col("m").as("u"), col("b").as("v")))
-    }
-
-    // small-star on canonical edges (u < v): per node v connect each
-    // smaller neighbor u (and v itself) to m = min of v's smaller
-    // neighborhood; emitted edges (m, x) with m < x stay canonical
-    def smallStar(e: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("v"))
-      val wm = e.select(col("u"), col("v"), min(col("u")).over(w).as("m"))
-      canon(wm.filter(col("u") =!= col("m"))
-        .select(col("m").as("u"), col("u").as("v"))
-        .unionAll(wm.select(col("m").as("u"), col("v"))))
-    }
 
     var e = pin(edges
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull)
@@ -417,13 +427,10 @@ object Dedup {
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                 threshold: Double = 0.7, maxBandFreq: Long = 1000L,
-                sigStore: Store = Store.Cache): DataFrame = {
-    val pairs = nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
-      shingleWidth, threshold, maxBandFreq, sigStore)
-    val mapping = resolveClusters(pairs.select(col("id_a"), col("id_b")))
-    val drop = mapping.filter(col("id") =!= col("rep_id")).select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
-  }
+                sigStore: Store = Store.Cache): DataFrame =
+    nearDedupFromEdges(df, idCol,
+      nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
+        shingleWidth, threshold, maxBandFreq, sigStore))
 
   /** [[nearDedup]] with an explicit keep policy: per transitive cluster
     * keep the row MAXIMIZING `scoreCol` (ties → smallest id) — the
@@ -438,21 +445,74 @@ object Dedup {
                         scoreCol: Column,
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.7, maxBandFreq: Long = 1000L,
-                        sigStore: Store = Store.Cache): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
-      shingleWidth, threshold, maxBandFreq, sigStore)
-    val mapping = resolveClusters(pairs.select(col("id_a"), col("id_b")))
-      .select(col("id").as("__graft_cid"), col("rep_id").as("__graft_rep"))
-    val clustered = df.join(mapping, df(idCol) === col("__graft_cid"))
-    val w = Window.partitionBy(col("__graft_rep"))
-      .orderBy(scoreCol.desc, col(idCol).asc)
-    val best = clustered.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .select(df.columns.map(clustered(_)): _*)
-    val unclustered = df.join(mapping.select(col("__graft_cid").as(idCol)),
-      Seq(idCol), "left_anti")
-    unclustered.unionByName(best)
+                        sigStore: Store = Store.Cache): DataFrame =
+    nearDedupFromEdges(df, idCol,
+      nearDupPairsScaled(df, idCol, textCol, numHashes, bands,
+        shingleWidth, threshold, maxBandFreq, sigStore),
+      Keep.Best(scoreCol))
+
+  /** Per-cluster survivor policy for [[nearDedupFromEdges]]. */
+  sealed trait Keep
+  object Keep {
+    /** Keep the row with the MINIMUM id per cluster (the default —
+      * deterministic, needs no extra column).
+      */
+    case object MinId extends Keep
+
+    /** Keep the row MAXIMIZING `score` per cluster, ties → smallest id —
+      * the RefinedWeb-style "keep the longest / highest-quality document"
+      * verdict. `score` must be an expression over the input DataFrame's
+      * columns.
+      */
+    final case class Best(score: Column) extends Keep
+  }
+
+  /** The near-dedup VERDICT over an ARBITRARY pair source: resolve the
+    * `edges` (any DataFrame of id pairs — [[minHashPairs]],
+    * [[simHashPairs]], [[ngramJaccardPairs]], [[embeddingNearDupPairs]],
+    * [[nearDupPairsScaled]], or a caller's own) into transitive clusters
+    * and keep exactly ONE row per cluster by `keep` policy; rows in no
+    * cluster pass through untouched. This is what makes every pair
+    * source in the library compose into an end-to-end dedup without
+    * hand-wiring the resolve + anti-join.
+    *
+    * Ids are expected unique per row (the dedup contract — same as
+    * [[graft.ops.Sampling.exampleRows]]'s sample-by-id); duplicate-id
+    * rows share one keep/drop verdict.
+    *
+    * Scale shape: [[resolveClusters]] on the edges; the drop list is one
+    * narrow id column of `clustered − clusters` entries; the final
+    * anti-join is one hash shuffle of ids (or a broadcast when the drop
+    * list is small). The `Keep.Best` scoring runs over CLUSTERED rows
+    * only and uses partial-aggregating groupBys end-to-end — per-cluster
+    * max score, then min id among the ties — never a per-cluster Window,
+    * so a mega-cluster's rows collapse map-side instead of funnelling
+    * through one task (same skew contract as [[largeStar]]).
+    */
+  def nearDedupFromEdges(df: DataFrame, idCol: String, edges: DataFrame,
+                         keep: Keep = Keep.MinId,
+                         idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val mapping = resolveClusters(edges.select(col(idACol), col(idBCol)), idACol, idBCol)
+    val drop = keep match {
+      case Keep.MinId =>
+        mapping.filter(col("id") =!= col("rep_id")).select(col("id").as(idCol))
+      case Keep.Best(score) =>
+        val m = mapping.select(col("id").as("__graft_cid"), col("rep_id").as("__graft_rep"))
+        val clustered = df.join(m, df(idCol) === col("__graft_cid"))
+          .select(col("__graft_cid"), col("__graft_rep"), score.as("__graft_score"))
+        val bestScore = clustered.groupBy(col("__graft_rep"))
+          .agg(max(col("__graft_score")).as("__graft_best"))
+        // null-safe: an all-null-score cluster still keeps its min id
+        val keptIds = clustered.join(bestScore, Seq("__graft_rep"))
+          .filter(col("__graft_score") <=> col("__graft_best"))
+          .groupBy(col("__graft_rep"))
+          .agg(min(col("__graft_cid")).as("__graft_keep"))
+          .select(col("__graft_keep"))
+        m.select(col("__graft_cid"))
+          .join(keptIds, col("__graft_cid") === col("__graft_keep"), "left_anti")
+          .select(col("__graft_cid").as(idCol))
+    }
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Paragraph-level boilerplate removal (the ccnet/RefinedWeb pipeline
@@ -504,13 +564,18 @@ object Dedup {
                             threshold: Double = 0.95, planes: Int = 8,
                             seed: Long = 42L, maxBucketFreq: Long = Long.MaxValue,
                             vecStore: Store = Store.Cache): DataFrame = {
-    // vectors feed the bucketing AND both scoring re-joins (3 consumers)
+    // vectors feed the bucketing AND both scoring re-joins (3 consumers).
+    // The STORED form is what materializes — an int8-quantized corpus
+    // caches at its 4× smaller width and decodes per consumer (one
+    // codegen'd multiply per component at bucketing/scoring time)
+    val vdt = df.schema(vecCol).dataType
+    def rd(c: Column): Column = Similarity.vecDecode(vdt, c)
     val vecs = materialize(df.select(col(idCol).as("id"), col(vecCol).as("v")), vecStore)
     // bucket join on ids only (same discipline as minHashPairs: never
     // ship the vectors through the self-join exchange); vectors re-join
     // the candidate pairs for exact scoring
     val bucketed0 = vecs.select(col("id"),
-      Similarity.hyperplaneBucket(col("v"), planes, seed).as("bucket"))
+      Similarity.hyperplaneBucket(rd(col("v")), planes, seed).as("bucket"))
     val bucketed = dropHotBuckets(bucketed0, Seq("bucket"), maxBucketFreq)
     // no distinct needed: each id has exactly ONE bucket row, so the
     // self-join emits each ordered pair at most once (unlike the
@@ -522,7 +587,36 @@ object Dedup {
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineColumn(col("va"), col("vb")).as("cosine"))
+        Similarity.cosineColumn(rd(col("va")), rd(col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Cross-snapshot duplicate-mass pre-flight: estimate how much of
+    * snapshot `b` already exists in snapshot `a` BEFORE committing a full
+    * dedup run — the cheap gate a 100-TB operator wants ("is this crawl
+    * 3% new or 60% new?"). One theta sketch of the content fingerprints
+    * per snapshot (single scan each, partial-aggregated UDAF — the only
+    * exchange is `shuffle.partitions` sketch blobs per side), then
+    * constant-time KMV set algebra on the two blobs.
+    *
+    * Returns one row: `est_a`/`est_b` (distinct contents per snapshot),
+    * `est_intersect`/`est_union`, `jaccard`, and `dup_frac_b` = the
+    * estimated fraction of `b`'s distinct contents already in `a` — the
+    * number to gate on. Standard error ~1/sqrt(nominalK-1) (≈1.6% at the
+    * default 4096); exact below `nominalK` distinct contents.
+    */
+  def snapshotOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                      nominalK: Int = 4096): DataFrame = {
+    def sk(df: DataFrame, name: String): DataFrame =
+      df.agg(theta_sketch(doc_fingerprint(col(textCol)), nominalK).as(name))
+    sk(a, "__ta").crossJoin(sk(b, "__tb"))
+      .select(
+        theta_estimate(col("__ta")).as("est_a"),
+        theta_estimate(col("__tb")).as("est_b"),
+        theta_estimate(theta_intersect(col("__ta"), col("__tb"))).as("est_intersect"),
+        theta_estimate(graft.functions.theta_union(col("__ta"), col("__tb"))).as("est_union"),
+        theta_jaccard(col("__ta"), col("__tb")).as("jaccard"),
+        (theta_estimate(theta_intersect(col("__ta"), col("__tb"))) /
+          greatest(theta_estimate(col("__tb")), lit(1.0))).as("dup_frac_b"))
   }
 }

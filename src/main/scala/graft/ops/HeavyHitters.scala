@@ -32,9 +32,22 @@ object HeavyHitters {
     * (key, cnt) with exact counts. `eps` trades sketch size against the
     * false-candidate fraction; keep `eps ≤ phi/10` so light keys rarely
     * clear the threshold.
+    *
+    * Broadcast lifetime: each call broadcasts the ~1 MB CMS blob (at the
+    * default accuracy) and ties its lifetime to the RETURNED plan — the
+    * executors' copies are reclaimed when the DataFrame is garbage, so a
+    * long-lived session holding many results holds that many megabytes.
+    * Callers that fully consume the result in one pass should prefer
+    * [[exactMaterialized]], which collects the (small — heavy keys only)
+    * result eagerly and destroys the broadcast before returning.
     */
   def exact(df: DataFrame, keyCol: String, phi: Double,
-            eps: Double = 1e-4, delta: Double = 0.01): DataFrame = {
+            eps: Double = 1e-4, delta: Double = 0.01): DataFrame =
+    exactWithBroadcast(df, keyCol, phi, eps, delta)._1
+
+  private def exactWithBroadcast(df: DataFrame, keyCol: String, phi: Double,
+      eps: Double, delta: Double):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Byte]]) = {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     // The input is scanned TWICE (CMS build, then the filtered exact
     // count). A nondeterministic source (rand()-derived key, unseeded
@@ -60,10 +73,27 @@ object HeavyHitters {
     // binary" warnings); the broadcast handle keeps tasks bytes-sized and
     // each executor fetches one copy
     val bcast = df.sparkSession.sparkContext.broadcast(blob)
-    df.filter(cms_query_broadcast(bcast, key) >= thresh)
+    (df.filter(cms_query_broadcast(bcast, key) >= thresh)
       .groupBy(key)
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= thresh)
+      .filter(col("cnt") >= thresh), bcast)
+  }
+
+  /** [[exact]] with an eager, bounded-lifetime broadcast: the heavy-key
+    * result (≤ 1/phi rows by definition) is materialized driver-side, the
+    * CMS broadcast destroyed, and the rows returned as a fresh local
+    * DataFrame — the right call for one-shot consumers on a long-lived
+    * session, where [[exact]]'s plan-tied broadcast would pin ~1 MB per
+    * call until the caller drops the DataFrame.
+    */
+  def exactMaterialized(df: DataFrame, keyCol: String, phi: Double,
+                        eps: Double = 1e-4, delta: Double = 0.01): DataFrame = {
+    val (lazyResult, bcast) = exactWithBroadcast(df, keyCol, phi, eps, delta)
+    val rows = lazyResult.collect().toIndexedSeq
+    val out = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, lazyResult.schema)
+    bcast.destroy()
+    out
   }
 
   /** ONE-scan approximate heavy hitters via the Misra-Gries summary

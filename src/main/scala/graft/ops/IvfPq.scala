@@ -178,7 +178,7 @@ object IvfPq {
   def encode(corpus: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    corpus.select(col(idCol).cast("long").as("_id"), Similarity.vecRead(corpus, vecCol).as("_v"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
@@ -199,15 +199,15 @@ object IvfPq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = Similarity.trainingSample(
-      corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v")), sampleSize)
+      corpus.select(col(idCol).cast("long").as("_id"), Similarity.vecRead(corpus, vecCol).as("_v")), sampleSize)
     val model = train(sample, nCentroids, m, ks, iters)
     val encoded = encode(corpus, idCol, vecCol, model)
     val approx = searchEncoded(encoded, queries, idCol, vecCol, model, k * refineFactor, nProbe)
     // exact refine: tiny candidate set joins back to full vectors
     val cands = approx.select(col("query_id"), col("neighbor_id"))
     val withVecs = cands
-      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"), Similarity.vecRead(corpus, vecCol).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"), Similarity.vecRead(queries, vecCol).as("qv"))), Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineColumn(col("qv"), col("cv")).as("cosine"))
@@ -231,7 +231,7 @@ object IvfPq {
     import spark.implicits._
     require(maxQueriesPerBatch > 0, "maxQueriesPerBatch must be positive")
     // driver-side: per-query table + probed cells (+ per-cell coarse dot)
-    val qRows = queries.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val qRows = queries.select(col(idCol).cast("long").as("_id"), Similarity.vecRead(queries, vecCol).as("_v"))
       .as[(Long, Seq[Float])].collect()
     val batches = qRows.grouped(maxQueriesPerBatch).map { batch =>
       val qInfo: Map[Long, (Array[Array[Float]], Map[Int, Float])] = batch.map { case (qid, qv) =>

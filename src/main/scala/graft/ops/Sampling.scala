@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{bk_values, bottomk_sample, weighted_sample, ws_values}
+import graft.functions.{bk_values, bottomk_sample, weighted_sample, ws_entries, ws_values}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -53,9 +53,15 @@ object Sampling {
   /** Weighted [[exampleRows]]: ids sampled with probability scaling with
     * `weightCol` (Efraimidis-Spirakis A-Res — "show me k example
     * documents per language, weighted by token count"). Same plan shape:
-    * one blob pass, then a broadcast semi-join keyed on (group, id). An
-    * id appearing on several rows takes its MAX weight (the sample's
-    * distinct-key contract); rows with non-positive weight never sample.
+    * one blob pass, then a broadcast semi-join keyed on (group, id).
+    *
+    * Duplicate-id contract: an id appearing on several rows takes its
+    * MAX observed weight — NOT the sum (accumulating duplicate weights
+    * would break the sample's mergeability: an evicted key's partial
+    * weight would be lost). For per-id-constant weights (the common
+    * case: one weight per document) max IS the weight; to sample by
+    * TOTAL weight across rows, use [[weightedSampleByTotal]].
+    * Rows with non-positive weight never sample.
     */
   def exampleRowsWeighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
                           groupCol: Option[String] = None): DataFrame = {
@@ -78,5 +84,31 @@ object Sampling {
         df.join(broadcast(ids.distinct()),
           col(idCol).cast("string") === col("__graft_id"), "left_semi")
     }
+  }
+
+  /** A-Res sample of up to `k` distinct keys weighted by their TOTAL
+    * weight across all rows — "sample k domains by total bytes" when the
+    * weight is per-ROW, not per-key. This is the sum-semantics
+    * complement to [[graft.functions.weighted_sample]]'s distinct-key
+    * MAX contract: a pre-aggregation (`groupBy(key).sum(w)` — partial-
+    * aggregating, one shuffle of narrow (key, partial-sum) rows) makes
+    * each key's weight its exact total, then the deterministic weighted
+    * sample runs over the per-key totals.
+    *
+    * Returns `(keyCol string, total_weight long)` in priority order.
+    * Rows with null/non-positive total never sample.
+    */
+  def weightedSampleByTotal(df: DataFrame, keyCol: String, weightCol: String,
+                            k: Int): DataFrame = {
+    val totals = df
+      .select(col(keyCol).cast("string").as("__graft_k"),
+        col(weightCol).cast("long").as("__graft_w"))
+      .groupBy(col("__graft_k"))
+      .agg(sum(col("__graft_w")).as("__graft_tw"))
+    totals
+      .agg(ws_entries(weighted_sample(col("__graft_k"), col("__graft_tw"), k)).as("__graft_e"))
+      .select(explode(col("__graft_e")).as("__graft_e"))
+      .select(col("__graft_e.key").as(keyCol),
+        col("__graft_e.weight").as("total_weight"))
   }
 }

@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embedding-column reader shared by every ANN operator: accepts either
+    * a raw `array<float>` column or the int8-quantized
+    * `struct(scale float, q binary)` form written by
+    * [[graft.functions.vec_quantize_int8]] (field names/nullability free
+    * — a parquet round-trip relaxes both), dequantizing INSIDE the
+    * consuming stage. A corpus stored at the quantizer's 4× residency is
+    * therefore searchable directly: the scan reads the 4×-smaller stored
+    * bytes, the candidate exchanges still ship ids only, and the decode
+    * is one codegen'd multiply per component exactly where the vector is
+    * consumed (bucketing or scoring) — never a materialized float copy
+    * of the corpus.
+    */
+  private[ops] def vecRead(df: DataFrame, vecCol: String): Column =
+    vecDecode(df.schema(vecCol).dataType, col(vecCol))
+
+  /** [[vecRead]] for an already-projected column of known type — used
+    * where the stored (possibly quantized) form is materialized/cached
+    * at its 4× smaller width and decoded per CONSUMER.
+    */
+  private[ops] def vecDecode(dt: org.apache.spark.sql.types.DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StructType(Array(a, b))
+          if a.dataType == FloatType && b.dataType == BinaryType =>
+        graft.functions.vec_dequantize_int8(c)
+      case _ => c
+    }
+  }
+
   /** Cosine similarity of two `array<float/double>` columns, computed in
     * double via `zip_with` + `aggregate` (both codegen-friendly built-ins).
     */
@@ -65,8 +94,8 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), vecRead(corpus, vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), vecRead(queries, vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
@@ -93,7 +122,7 @@ object Similarity {
               sampleSize: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val typed = corpus.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val typed = corpus.select(col(idCol).cast("long").as("_id"), vecRead(corpus, vecCol).as("_v"))
       .as[(Long, Seq[Float])]
     val sample = trainingSample(typed.toDF("_id", "_v"), sampleSize)
     require(sample.nonEmpty, "empty corpus")
@@ -118,7 +147,7 @@ object Similarity {
     val cs = centroids // stable reference for the closures below
     val assigned = typed.map { case (id, v) => (id, v, nearestCell(v.toArray, cs)) }
       .toDF("neighbor_id", "cv", "cell")
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), vecRead(queries, vecCol).as("qv"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
         nearestCells(v.toArray, cs, nProbe).map(c => (id, v, c))
@@ -190,17 +219,17 @@ object Similarity {
     def bucketsOf(v: Column): Column = array((0 until tables).map(t =>
       struct(lit(t).as("t"), hyperplaneBucket(v, planes, seed + 7919L * t).as("b"))): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      explode(bucketsOf(col(vecCol))).as("bk"))
+      explode(bucketsOf(vecRead(corpus, vecCol))).as("bk"))
     val q = queries.select(col(idCol).as("query_id"),
-      explode(bucketsOf(col(vecCol))).as("bk"))
+      explode(bucketsOf(vecRead(queries, vecCol))).as("bk"))
     val candidates = c.join(broadcast(q), Seq("bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      .join(corpus.select(col(idCol).as("neighbor_id"), vecRead(corpus, vecCol).as("cv")),
         Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+      .join(broadcast(queries.select(col(idCol).as("query_id"), vecRead(queries, vecCol).as("qv"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosineColumn(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)

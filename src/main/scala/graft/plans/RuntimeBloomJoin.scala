@@ -61,13 +61,15 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** One left↔right equi-pair from the join condition's conjuncts. */
-  private def findEquiKey(cond: Expression, left: LogicalPlan, right: LogicalPlan): Option[(Expression, Expression)] = {
+  /** All left↔right equi-pairs from the join condition's conjuncts, in
+    * condition order.
+    */
+  private def findEquiKeys(cond: Expression, left: LogicalPlan, right: LogicalPlan): Seq[(Expression, Expression)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
-    conjuncts(cond).collectFirst {
+    conjuncts(cond).collect {
       case EqualTo(a, b)
           if a.deterministic && b.deterministic && supportedKeyType(a.dataType) &&
             a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
@@ -78,6 +80,29 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             b.references.nonEmpty && b.references.subsetOf(right.outputSet) => (a, b)
     }
   }
+
+  /** Distinct-count stat of `key` on `plan` (bare attributes with CBO
+    * column stats only).
+    */
+  private def distinctOf(plan: LogicalPlan, key: Expression): Option[Long] = key match {
+    case a: Attribute =>
+      plan.stats.attributeStats.collectFirst {
+        case (attr, s) if attr.semanticEquals(a) => s.distinctCount
+      }.flatten.map(_.toLong)
+    case _ => None
+  }
+
+  /** The conjunct whose BUILD-side key carries the highest distinct
+    * count — the filter's whole selectivity lives in that choice: on a
+    * compound key `a.x = b.x AND a.y = b.y`, blooming the 2-value `x`
+    * passes ~half the probe side no matter how selective `y` is.
+    * Stats-less keys rank below any counted key; ties and the no-stats
+    * case keep condition order (`maxBy` keeps the first maximum).
+    */
+  private def strongest(pairs: Seq[(Expression, Expression)],
+                        buildPlan: LogicalPlan,
+                        buildKey: ((Expression, Expression)) => Expression): (Expression, Expression) =
+    pairs.maxBy(p => distinctOf(buildPlan, buildKey(p)).getOrElse(-1L))
 
   /** Structural idempotence marker: an injected filter carries a
     * `BloomMightContain` over a `ScalarSubquery` whose root aggregate is
@@ -162,21 +187,27 @@ case class RuntimeBloomJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftSemi =>
-        findEquiKey(cond, left, right) match {
-          case Some((lk, rk)) =>
-            // Preferred orientation: build on the right (works for both
-            // Inner and LeftSemi). MIRROR for Inner only: an inner join
-            // is symmetric, so a small deterministic LEFT side can just
-            // as well pre-filter a large right side — without the mirror
-            // a selective left build never triggers the rule. The two
-            // orientations are mutually exclusive by the size ratio
-            // (p >= ratio·b cannot hold both ways for ratio > 1).
-            if (eligible(left, right) && !alreadyInjected(left, lk))
-              j.copy(left = Filter(probePredicate(right, rk, lk), left))
-            else if (jt == Inner && eligible(right, left) && !alreadyInjected(right, rk))
-              j.copy(right = Filter(probePredicate(left, lk, rk), right))
+        val pairs = findEquiKeys(cond, left, right)
+        if (pairs.isEmpty) j // no usable equi-key
+        else {
+          // Preferred orientation: build on the right (works for both
+          // Inner and LeftSemi). MIRROR for Inner only: an inner join
+          // is symmetric, so a small deterministic LEFT side can just
+          // as well pre-filter a large right side — without the mirror
+          // a selective left build never triggers the rule. The two
+          // orientations are mutually exclusive by the size ratio
+          // (p >= ratio·b cannot hold both ways for ratio > 1). Each
+          // orientation picks ITS OWN strongest conjunct — the build
+          // side differs, so the most-distinct key can too.
+          val (lkR, rkR) = strongest(pairs, right, _._2)
+          if (eligible(left, right) && !alreadyInjected(left, lkR))
+            j.copy(left = Filter(probePredicate(right, rkR, lkR), left))
+          else if (jt == Inner) {
+            val (lkL, rkL) = strongest(pairs, left, _._1)
+            if (eligible(right, left) && !alreadyInjected(right, rkL))
+              j.copy(right = Filter(probePredicate(left, lkL, rkL), right))
             else j
-          case _ => j // no usable equi-key
+          } else j
         }
     }
 }

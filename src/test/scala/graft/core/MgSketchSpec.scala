@@ -22,6 +22,18 @@ class MgSketchSpec extends AnyFunSuite {
   private def exactCounts(xs: Seq[String]): Map[String, Long] =
     xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
 
+  test("corrupt blob with entry count > k fails fast instead of looping") {
+    val mg = MgSketch.empty(4)
+    Seq("a", "b", "c", "d").foreach(mg.add(_))
+    val blob = mg.serialize()
+    // patch numEntries (offset 24 after magic/k/totalCount/delta) to k+1
+    val bad = blob.clone()
+    java.nio.ByteBuffer.wrap(bad, 24, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5)
+    val e = intercept[IllegalArgumentException](MgSketch.deserialize(bad))
+    assert(e.getMessage.contains("exceeds k"))
+  }
+
   test("exact mode: distinct keys <= k means zero error") {
     val mg = MgSketch.empty(16)
     val xs = (0 until 1000).map(i => s"k${i % 10}")

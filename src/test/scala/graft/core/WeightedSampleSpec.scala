@@ -21,6 +21,47 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(ws.totalAdds == 500L)
   }
 
+  test("priority-colliding weights: max weight wins regardless of add order") {
+    // adjacent huge weights whose -ln(u)/w priorities round to the SAME
+    // double (relative gap < 2^-53) — the stored weight must still be
+    // the max observed, not whichever arrived first
+    val key = "collide"
+    // above ~9.2e15 the relative weight gap 1/w drops under the double
+    // ulp and adjacent priorities collide within a few steps; the scan is
+    // bounded so a contract change fails fast instead of hanging
+    val w0 = Iterator.iterate(9200000000000000L)(_ + 1).take(5000000).find(w =>
+      WeightedSample.testPriority(key, w) == WeightedSample.testPriority(key, w + 1))
+      .getOrElse(fail("no adjacent-weight priority collision found in 5M steps"))
+    val (lo, hi) = (w0, w0 + 1)
+    assert(WeightedSample.testPriority(key, lo) == WeightedSample.testPriority(key, hi))
+    val a = WeightedSample.empty(4); a.add(key, lo); a.add(key, hi)
+    val b = WeightedSample.empty(4); b.add(key, hi); b.add(key, lo)
+    assert(a.entries.toSeq == Seq((key, hi)))
+    assert(b.entries.toSeq == Seq((key, hi)))
+    assert(java.util.Arrays.equals(a.serialize(), b.serialize()))
+    // same collision through the merge path
+    val p1 = WeightedSample.empty(4); p1.add(key, lo)
+    val p2 = WeightedSample.empty(4); p2.add(key, hi)
+    val m1 = WeightedSample.deserialize(p1.serialize()).mergeInPlace(WeightedSample.deserialize(p2.serialize()))
+    val m2 = WeightedSample.deserialize(p2.serialize()).mergeInPlace(WeightedSample.deserialize(p1.serialize()))
+    assert(m1.entries.toSeq == Seq((key, hi)) && m2.entries.toSeq == Seq((key, hi)))
+  }
+
+  test("java serialization round-trip: index survives and keeps deduping") {
+    val ws = WeightedSample.empty(8)
+    keys(20).foreach(k => ws.add(k, 5L))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ws); oos.close()
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = ois.readObject().asInstanceOf[WeightedSample]
+    assert(java.util.Arrays.equals(back.serialize(), ws.serialize()))
+    // the content-keyed index still dedups on the revived object
+    back.values.foreach(k => back.add(k, 50L))
+    assert(back.size == ws.size) // no duplicate entries crept in
+    assert(back.entries.forall(_._2 == 50L)) // weights improved in place
+  }
+
   test("merge: any partition/order yields the bitwise-identical blob") {
     val items = keys(2000).zipWithIndex.map { case (k, i) => (k, 1L + (i * 7) % 97) }
     val serial = WeightedSample.empty(64)

@@ -129,6 +129,88 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(full.count() == 3)
   }
 
+  test("hot star: 100k-leaf mega-star resolves, star rounds plan has NO Window node") {
+    // the web-template shape the skew contract exists for: one node with
+    // 100k neighbors, plus a ring and a chain so multiple components mix
+    val star = spark.range(1L, 100001L)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val ring = spark.range(0L, 10L).select(
+      (col("id") + 500000L).as("id_a"),
+      ((col("id") + 1L) % 10L + 500000L).as("id_b"))
+    val chain = spark.range(0L, 99L).select(
+      (col("id") + 600000L).as("id_a"), (col("id") + 600001L).as("id_b"))
+    val edges = star.unionAll(ring).unionAll(chain)
+    val (mapping, iters) = Dedup.resolveClustersInternal(edges, "id_a", "id_b", 50)
+    val reps = mapping.groupBy("rep_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(0L -> 100001L, 500000L -> 10L, 600000L -> 100L))
+    // O(log n) bound: the 100-node chain dominates the round count (the
+    // star itself is near-terminal); 2·log2(100) ≈ 13 with slack
+    assert(iters <= 13, s"expected O(log n) rounds, took $iters")
+    // the skew contract itself: neighborhood minima come from a
+    // partial-aggregating groupBy+join-back, never a per-node Window
+    // (which would funnel the mega-star's adjacency through one task)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (round <- Seq(Dedup.largeStar(edges.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))),
+      Dedup.smallStar(edges.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))))) {
+      val windows = round.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.isEmpty, "star round must not contain a Window node")
+    }
+  }
+
+  test("nearDedupFromEdges composes with simHashPairs edges + Keep policies") {
+    val words = (0 until 80).map(i => s"w${graft.core.Fnv.splitmix64(i.toLong) & 0xffff}")
+    def windowText(start: Int, extra: Int): String =
+      (words.slice(start, start + 40) ++ Seq.fill(extra)("pad")).mkString(" ")
+    val rows = Seq(
+      (1L, windowText(0, 0)), (2L, windowText(0, 0)), (3L, windowText(1, 5)),
+      (20L, "a completely unrelated solitary document"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.simHashPairs(rows, "doc_id", "text", maxDistance = 12)
+    // the composition is checked against whatever pairs simhash ACTUALLY
+    // found, via the union-find oracle — with the floor that the exact
+    // dup (1,2) must be an edge (hamming 0) so a real cluster exists
+    val edgeSeq = edges.select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(edgeSeq.contains((1L, 2L)), s"premise: exact dup must pair, got $edgeSeq")
+    val comp = ufComponents(edgeSeq)
+    val allIds = Set(1L, 2L, 3L, 20L)
+    val wantMin = allIds.filter(id => comp.get(id).forall(_ == id))
+    val keptMin = Dedup.nearDedupFromEdges(rows, "doc_id", edges)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptMin == wantMin, s"got $keptMin want $wantMin (edges $edgeSeq)")
+    assert(!keptMin.contains(2L) && keptMin.contains(20L))
+    // keep-best: the longest text wins its cluster (doc 3 carries 5 pad
+    // words, so IF it clustered with 1/2 it must be the survivor; the
+    // {1,2} tie breaks to min id)
+    val lens = Map(1L -> windowText(0, 0).length, 2L -> windowText(0, 0).length,
+      3L -> windowText(1, 5).length, 20L -> 40)
+    val byCluster = allIds.groupBy(id => comp.getOrElse(id, id))
+    val wantBest = byCluster.values.map(m => m.toSeq.sortBy(id => (-lens(id), id)).head).toSet
+    val keptBest = Dedup.nearDedupFromEdges(rows, "doc_id", edges,
+        Dedup.Keep.Best(length(col("text"))))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptBest == wantBest, s"got $keptBest want $wantBest (edges $edgeSeq)")
+    assert(Dedup.nearDedupFromEdges(rows, "doc_id", edges).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
+  test("nearDedupFromEdges Keep.Best: null scores fall back to min id, ties break by id") {
+    val rows = Seq(
+      (1L, "x", Option.empty[Int]), (2L, "x", Option.empty[Int]), // all-null cluster
+      (10L, "y", Some(5)), (11L, "y", Some(5)), (12L, "y", Some(3)), // tie at 5
+      (30L, "z", Some(1))) // singleton, no edges
+      .toDF("doc_id", "grp", "score")
+    val edges = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedupFromEdges(rows, "doc_id", edges,
+        Dedup.Keep.Best(col("score")))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 30L), kept.toString)
+  }
+
   test("nearDedup end-to-end: exact classes + near chains each keep ONE min-id rep") {
     val words = (0 until 80).map(i => s"w${graft.core.Fnv.splitmix64(i.toLong) & 0xffff}")
     def windowText(start: Int): String = words.slice(start, start + 40).mkString(" ")

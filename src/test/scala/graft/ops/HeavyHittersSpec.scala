@@ -27,6 +27,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got("hot-a") == 4000L && got("hot-b") == 2000L)
   }
 
+  test("exactMaterialized: same rows as exact, broadcast destroyed eagerly") {
+    val rows = (0 until 20000).map { i =>
+      if (i % 10 == 0) "hot-a" else s"light-${i % 1000}"
+    }
+    val df = rows.toDF("key")
+    val want = HeavyHitters.exact(df, "key", 0.05, 1e-3, 0.01)
+      .as[(String, Long)].collect().toMap
+    val got = HeavyHitters.exactMaterialized(df, "key", 0.05, 1e-3, 0.01)
+    assert(got.as[(String, Long)].collect().toMap == want)
+    assert(got.schema.fieldNames.toSeq == Seq("key", "cnt"))
+    // the result is a local relation — re-collectable after the
+    // broadcast is gone
+    assert(got.count() == want.size)
+  }
+
   test("exact: the CMS blob rides a broadcast handle, never a plan literal") {
     // range-based input: a LocalRelation would eagerly collapse the
     // probe filter before the plan could be inspected

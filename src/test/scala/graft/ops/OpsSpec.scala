@@ -115,6 +115,77 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized corpus: ANN reads struct(scale,q) directly; exchange still ids-only") {
+    import graft.functions.vec_quantize_int8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = emb.select($"vec_id", vec_quantize_int8($"embedding").as("embedding"))
+    val queries = quant.filter($"vec_id" < 20)
+    // the quantized column feeds the search with NO caller-side dequantize;
+    // recall vs the float-path brute-force oracle stays usable (the
+    // documented <=2% cosine fidelity loses only borderline pairs)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+        "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(quant, queries, "vec_id", "embedding", 5,
+        planes = 6, tables = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"quantized recall=$recall")
+    // the id-only candidate-exchange discipline survives quantization:
+    // dequantize runs INSIDE bucketing/scoring, so the dedup aggregate
+    // still carries ids only and the int8 bytes never ride the shuffle
+    val agg = Similarity.lshTopK(quant, queries, "vec_id", "embedding", 5)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+    assert(agg.nonEmpty)
+    agg.foreach { a =>
+      val outs = a.output.map(_.name).toSet
+      assert(outs.subsetOf(Set("query_id", "neighbor_id")),
+        s"candidate dedup carries non-id columns: $outs")
+    }
+    // embeddingNearDupPairs accepts the quantized corpus too and agrees
+    // with the float path on the pairs it reports (same buckets, scores
+    // within the quantization fidelity)
+    val pf = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pq = Dedup.embeddingNearDupPairs(quant, "vec_id", "embedding", threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // borderline pairs may differ; the overlap must dominate both sides
+    if (pf.nonEmpty) {
+      val agree = (pf & pq).size.toDouble
+      assert(agree / pf.size >= 0.8 && (pq.isEmpty || agree / pq.size >= 0.8),
+        s"float ${pf.size} vs quant ${pq.size}, agree $agree")
+    }
+  }
+
+  test("snapshotOverlap: exact below nominalK; ~1.6% band above it") {
+    // exact mode: fewer distinct contents than nominalK -> KMV keeps
+    // every hash, the estimates ARE the true counts
+    val snapA = (0 until 1000).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
+    val snapB = (500 until 1500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
+    val r = Dedup.snapshotOverlap(snapA, snapB, "text").collect()(0)
+    assert(r.getAs[Long]("est_a") == 1000L)
+    assert(r.getAs[Long]("est_b") == 1000L)
+    assert(r.getAs[Long]("est_intersect") == 500L)
+    assert(r.getAs[Long]("est_union") == 1500L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 500.0 / 1500.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dup_frac_b") - 0.5) < 1e-12)
+    // duplicate ROWS don't inflate the distinct-content estimates
+    val withDups = snapB.unionAll(snapB)
+    val r2 = Dedup.snapshotOverlap(snapA, withDups, "text").collect()(0)
+    assert(r2.getAs[Long]("est_b") == 1000L)
+    assert(math.abs(r2.getAs[Double]("dup_frac_b") - 0.5) < 1e-12)
+    // estimation mode: 60k distinct per side, 50% overlap — the gate
+    // number lands inside a few standard errors of truth
+    val bigA = spark.range(60000).select($"id", concat(lit("page-"), $"id").as("text"))
+    val bigB = spark.range(30000, 90000).select($"id", concat(lit("page-"), $"id").as("text"))
+    val rb = Dedup.snapshotOverlap(bigA.toDF, bigB.toDF, "text").collect()(0)
+    assert(math.abs(rb.getAs[Double]("dup_frac_b") - 0.5) < 0.08,
+      s"dup_frac_b=${rb.getAs[Double]("dup_frac_b")}")
+    assert(math.abs(rb.getAs[Double]("jaccard") - 1.0 / 3.0) < 0.05)
+  }
+
   test("token counting matches a local oracle incl. edge cases") {
     val df = Seq((1L, "a b  c"), (2L, ""), (3L, "   "), (4L, "single"), (5L, "x\ty \n z")).toDF("id", "t")
     val got = df.select($"id", TextOps.tokenCount($"t").as("n")).as[(Long, Int)].collect().toMap

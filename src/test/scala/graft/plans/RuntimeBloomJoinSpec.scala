@@ -195,6 +195,30 @@ class RuntimeBloomJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("compound key: the rule blooms the most-distinct conjunct, not the first") {
+    // first conjunct is a 2-value column — blooming it passes ~half the
+    // probe side no matter what; the rule must rank conjuncts by
+    // build-side distinct count and pick the selective one. CBO on so
+    // Project propagates the Range id's column stats through the alias.
+    // default minSizeRatio: the 30000-row probe vs 2500-row build fires
+    // the preferred orientation only (the mirror stays size-ineligible,
+    // so exactly ONE conjunct gets bloomed and the assertion is clean)
+    withRule("spark.graft.runtimeBloomJoin.enabled" -> "true",
+      "spark.sql.cbo.enabled" -> "true") {
+      val p = (0 until 30000).map(i => (i.toLong % 2, i.toLong)).toDF("plo", "phi")
+      // bhi: bare alias of range id -> distinctCount 2500 propagates;
+      // blo: derived 2-value column, no stats -> ranks below any counted key
+      val b = spark.range(2500).select(($"id" % 2).as("blo"), $"id".as("bhi"))
+      val df = p.join(b, $"plo" === $"blo" && $"phi" === $"bhi")
+      val plan = optimizedString(df)
+      assert(plan.contains("bloom_might_contain"), s"no rewrite:\n$plan")
+      assert(plan.contains("cast(phi"), s"did not bloom the selective conjunct:\n$plan")
+      assert(!plan.contains("cast(plo"), s"bloomed the 2-value conjunct:\n$plan")
+      // results exact: join matches are phi in 0..2499 with matching parity
+      assert(df.count() == 2500)
+    }
+  }
+
   test("rewritten join answers a string-key query identically (cast path)") {
     val p = (0 until 5000).map(i => (s"url-$i", i)).toDF("u", "x")
     val b = (0 until 100).map(i => s"url-${i * 31}").toDF("u")

@@ -105,4 +105,45 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got.count(_._1 >= 200) == 50, "post-2-window batch must be re-admitted")
     } finally query.stop()
   }
+
+  test("incremental clusters: stream mapping == batch resolveClusters on a growing edge stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // growing graph exercising every merge shape: chains extending,
+    // a star growing leaf-by-leaf, two old components bridged by a later
+    // edge, a NEW smaller id taking over an existing cluster's rep, and
+    // batches with only-redundant edges
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)),
+      Seq((2L, 3L), (11L, 12L), (30L, 31L)), // chains extend, new comp
+      Seq((3L, 10L)),                        // bridge comps {1..3} and {10..12}
+      Seq((1L, 2L), (10L, 11L)),             // redundant only: no-op batch
+      Seq((0L, 31L)),                        // new SMALLER id takes over comp {30,31}
+      Seq((40L, 41L), (41L, 42L), (42L, 40L), (20L, 40L)) // cycle + merge into {20,21}
+    )
+    val state = new IncrementalClusters()
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDS().toDF("id_a", "id_b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state.update(batch); ()
+      }.start()
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      batches.foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+        seen ++= b
+        val streamMap = state.mapping.get.as[(Long, Long)].collect().sorted.toSeq
+        val batchMap = graft.ops.Dedup.resolveClusters(seen.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(streamMap == batchMap,
+          s"after ${seen.size} edges: stream $streamMap vs batch $batchMap")
+      }
+      // spot-check the final shape: one cluster {1,2,3,10,11,12}, one
+      // {0,30,31}, one {20,21,40,41,42}
+      val reps = state.mapping.get.as[(Long, Long)].collect().toMap
+      assert(reps(12L) == 1L && reps(3L) == 1L)
+      assert(reps(30L) == 0L && reps(31L) == 0L && reps(0L) == 0L)
+      assert(reps(42L) == 20L && reps(21L) == 20L)
+    } finally query.stop()
+  }
 }
