@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions._
-import graft.ops.{Dedup, MediaCodecs, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Curation, Decontaminate, Dedup, MediaCodecs, Multimodal, Pii, Sampling, Similarity, TextOps}
 import graft.pipeline.SketchPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -963,6 +963,67 @@ object SparkEntry {
       Dedup.snapshotOverlap(snapA, snapB, "text", 16384)
     }),
 
+    // --- benchmark decontamination: every 97th doc plays the held-out
+    // eval set; the exact path (bench shingles broadcast, stride-1 on the
+    // bench side so no alignment is ever missed) is the oracle row set,
+    // and the map-only Bloom path is verified as a no-false-negative
+    // superset of it in the same query ---
+    "q53_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val all = T(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val docs = all.filter(col("doc_id") % 97 =!= 0)
+      val exact = Decontaminate.flag(docs, "doc_id", "text", bench, "text",
+        width = 16, step = 4, minHits = 8L, minFrac = 0.5)
+      val blob = Decontaminate.buildBenchFilter(bench, "text", 16, 100000L, 0.0001f)
+      val bloomHits = Decontaminate.overlapStatsBloom(docs, "doc_id", "text", blob, 16, 4)
+        .select(col("id"), col("contaminated").as("b"))
+      val fn = exact.join(bloomHits, Seq("id"))
+        .filter(col("b") < col("contaminated")).count()
+      exact.withColumn("bloom_no_false_neg", lit(fn == 0L)).orderBy(col("id"))
+    }),
+
+    // --- token-budget curation: keep the global (score DESC, id) greedy
+    // prefix at 2/5 of the corpus tokens, computed KLL-bucketed — only the
+    // single boundary bucket pays a sort; the oracle runs the full
+    // windowed prefix sum and must select the identical document set ---
+    "q54_token_budget" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("score"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      Curation.selectWithinBudgetFraction(d, "doc_id", "score", "tokens", 2, 5,
+          numBuckets = 64)
+        .select(col("doc_id").as("id"), col("tokens"))
+        .orderBy(col("id"))
+    }),
+
+    // --- PII scrubbing: deterministic synthetic PII (email / phone / SSN
+    // / card / IP) appended to every even doc, the map-only regex chain
+    // redacts it, and per-class counts come off the scrubbed text; the
+    // oracle applies the IDENTICAL pattern constants (interpolated from
+    // Pii.*Pattern — Java-regex ∩ RE2 by design) in DuckDB ---
+    "q55_pii_scrub" -> ((s, dir) => {
+      val d4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val withPii = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"),
+          lit(" Contact user"), (col("doc_id") % 100).cast("string"),
+          lit("@example.com or +1 555 123 "), d4,
+          lit(" ssn 123-45-"), d4,
+          lit(" card 4111 1111 1111 "), d4,
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text")).as("t"))
+      val scrubbed = withPii.select(col("doc_id").as("id"),
+        Pii.scrub(col("t")).as("scrubbed"))
+      scrubbed.select(col("id"), col("scrubbed"),
+          Pii.stats(col("scrubbed")).as("st"))
+        .select(col("id"), col("scrubbed"),
+          col("st.emails").as("emails"), col("st.ips").as("ips"),
+          col("st.ssns").as("ssns"), col("st.cards").as("cards"),
+          col("st.phones").as("phones"))
+        .orderBy(col("id"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1023,6 +1084,50 @@ object SparkEntry {
        |SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE lang END AS pred
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** The q18 quality-score pipeline as shared CTEs (`sc`: doc_id, chars,
+    * tokens, ratios, score) — single source of truth for every oracle that
+    * ranks by the library's quality score (q18, q54).
+    */
+  private val qualityScoreCtes =
+    """t AS (SELECT doc_id, trim(text) AS tt, text FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(length(tt) AS BIGINT) AS chars,
+      |  CAST(CASE WHEN length(tt) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(tt, '\s+')) END AS BIGINT) AS tokens,
+      |  CAST(length(tt) AS DOUBLE) AS lend,
+      |  greatest(CAST(length(tt) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS safelen,
+      |  CAST(length(regexp_replace(tt, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+      |  CAST(length(regexp_replace(tt, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+      |  CAST(length(regexp_replace(tt, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper
+      | FROM t),
+      |r AS (SELECT doc_id, chars, tokens,
+      |  lend / greatest(CAST(tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mean_token_len,
+      |  punct / safelen AS punct_ratio, digit / safelen AS digit_ratio,
+      |  upper / safelen AS upper_ratio FROM m),
+      |sc AS (SELECT doc_id, chars, tokens, mean_token_len, punct_ratio,
+      |  digit_ratio, upper_ratio,
+      | greatest(CAST(0.0 AS DOUBLE),
+      |   (CASE WHEN tokens < 5 THEN CAST(0.2 AS DOUBLE)
+      |         WHEN tokens > 10000 THEN CAST(0.5 AS DOUBLE)
+      |         ELSE CAST(1.0 AS DOUBLE) END)
+      |   * (CAST(1.0 AS DOUBLE)
+      |      - least(punct_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7
+      |      - least(digit_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7)) AS score
+      | FROM r)""".stripMargin
+
+  /** q55's synthetic-PII corpus, shared verbatim by the Spark query. */
+  private val piiCorpusCte =
+    """p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN text ||
+      |    ' Contact user' || CAST(doc_id % 100 AS VARCHAR) ||
+      |    '@example.com or +1 555 123 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      |  ELSE text END AS t FROM documents)""".stripMargin
+  // NOTE: interpolated into an outer .stripMargin — no line above may
+  // start with '|' after this val's own margin strip
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1175,30 +1280,10 @@ object SparkEntry {
     "q17_langid" -> langidOracle,
 
     "q18_quality" ->
-      """WITH t AS (SELECT doc_id, trim(text) AS tt, text FROM documents),
-        |m AS (SELECT doc_id,
-        |  CAST(length(tt) AS BIGINT) AS chars,
-        |  CAST(CASE WHEN length(tt) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(tt, '\s+')) END AS BIGINT) AS tokens,
-        |  CAST(length(tt) AS DOUBLE) AS lend,
-        |  greatest(CAST(length(tt) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS safelen,
-        |  CAST(length(regexp_replace(tt, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
-        |  CAST(length(regexp_replace(tt, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
-        |  CAST(length(regexp_replace(tt, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper
-        | FROM t),
-        |r AS (SELECT doc_id, chars, tokens,
-        |  lend / greatest(CAST(tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mean_token_len,
-        |  punct / safelen AS punct_ratio, digit / safelen AS digit_ratio,
-        |  upper / safelen AS upper_ratio FROM m)
-        |SELECT doc_id, chars, tokens, mean_token_len, punct_ratio, digit_ratio, upper_ratio,
-        | greatest(CAST(0.0 AS DOUBLE),
-        |   (CASE WHEN tokens < 5 THEN CAST(0.2 AS DOUBLE)
-        |         WHEN tokens > 10000 THEN CAST(0.5 AS DOUBLE)
-        |         ELSE CAST(1.0 AS DOUBLE) END)
-        |   * (CAST(1.0 AS DOUBLE)
-        |      - least(punct_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7
-        |      - least(digit_ratio * 4.0, CAST(1.0 AS DOUBLE)) * 0.7)) AS score
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityScoreCtes
+        |SELECT doc_id, chars, tokens, mean_token_len, punct_ratio, digit_ratio,
+        | upper_ratio, score
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q38_url_canonical" ->
       """WITH d AS (SELECT doc_id, 'HTTP://Example' || CAST(doc_id % 50 AS VARCHAR)
@@ -1336,6 +1421,54 @@ object SparkEntry {
         | CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard,
         | CAST(ni AS DOUBLE) / (CASE WHEN nb > 1 THEN CAST(nb AS DOUBLE) ELSE 1.0 END) AS dup_frac_b
         |FROM n""".stripMargin,
+
+    "q53_decontaminate" ->
+      """WITH bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 15, 1) + 1, 1),
+        |    p -> substring(text, CAST(p AS INT), 16)))) AS sh FROM bench),
+        |dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 15, 1) + 1, 4),
+        |    p -> substring(text, CAST(p AS INT), 16)))) AS sh FROM docs),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ngrams FROM dsh GROUP BY 1),
+        |hits AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS contaminated
+        |  FROM dsh d JOIN bsh USING (sh) GROUP BY 1)
+        |SELECT s.doc_id AS id, s.ngrams,
+        |  CAST(coalesce(h.contaminated, 0) AS BIGINT) AS contaminated,
+        |  CAST(coalesce(h.contaminated, 0) AS DOUBLE)
+        |    / CAST(greatest(s.ngrams, 1) AS DOUBLE) AS contamination_frac,
+        |  (coalesce(h.contaminated, 0) >= 8
+        |   OR CAST(coalesce(h.contaminated, 0) AS DOUBLE)
+        |      / CAST(greatest(s.ngrams, 1) AS DOUBLE) >= 0.5) AS flagged,
+        |  true AS bloom_no_false_neg
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id ORDER BY id""".stripMargin,
+
+    "q54_token_budget" ->
+      s"""WITH $qualityScoreCtes,
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM sc),
+        |w AS (SELECT doc_id, tokens,
+        |  sum(tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sc)
+        |SELECT doc_id AS id, CAST(tokens AS BIGINT) AS tokens
+        |FROM w, tot WHERE cum <= tt * 2 // 5 ORDER BY id""".stripMargin,
+
+    "q55_pii_scrub" ->
+      s"""WITH $piiCorpusCte,
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    t, '${Pii.EmailPattern}', '[EMAIL]', 'g'),
+        |    '${Pii.IpPattern}', '[IP]', 'g'),
+        |    '${Pii.SsnPattern}', '[SSN]', 'g'),
+        |    '${Pii.CardPattern}', '[CARD]', 'g'),
+        |    '${Pii.PhonePattern}', '[PHONE]', 'g') AS scrubbed FROM p)
+        |SELECT doc_id AS id, scrubbed,
+        |  CAST((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) // 7 AS BIGINT) AS emails,
+        |  CAST((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) // 4 AS BIGINT) AS ips,
+        |  CAST((length(scrubbed) - length(replace(scrubbed, '[SSN]', ''))) // 5 AS BIGINT) AS ssns,
+        |  CAST((length(scrubbed) - length(replace(scrubbed, '[CARD]', ''))) // 6 AS BIGINT) AS cards,
+        |  CAST((length(scrubbed) - length(replace(scrubbed, '[PHONE]', ''))) // 7 AS BIGINT) AS phones
+        |FROM s ORDER BY id""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,

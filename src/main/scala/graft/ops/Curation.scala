@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget curation — keep the best documents whose cumulative token
+  * count fits a global budget, exactly as if the corpus had been globally
+  * sorted by `(score DESC, id ASC)` and the greedy prefix taken — but
+  * WITHOUT the global sort.
+  *
+  * The straightforward plan (`sum(tokens) OVER (ORDER BY score DESC)`) is
+  * a single-ordering window: Spark range-partitions on the sort key, but
+  * the running sum is inherently sequential and the final ordering is a
+  * full-corpus exchange. At 100 TB that is the single most expensive
+  * operation a pipeline can run. This operator spends the library's KLL
+  * sketch instead:
+  *
+  *  1. one KLL build over `score` (a few-KB blob; one column-pruned scan),
+  *  2. equi-depth boundaries bucket every row MAP-SIDE
+  *     ([[RangePartition.bucketColumn]] — codegen'd binary search),
+  *  3. a tiny `(bucket → sum(tokens), count)` aggregate (≤ `numBuckets`
+  *     rows) lets the driver find the one '''boundary bucket''' where the
+  *     budget runs out,
+  *  4. buckets above it are accepted by a map-only filter; only the
+  *     boundary bucket — ~`1/numBuckets` of the corpus, equi-depth by
+  *     construction — pays the exact windowed prefix sum.
+  *
+  * Equivalence to the global sort is exact, not approximate: every row in
+  * a higher bucket has score strictly greater than every row in a lower
+  * bucket (bucket id = count of boundaries ≤ value, so equal scores always
+  * share a bucket), per-bucket token sums are exact longs, and the
+  * boundary bucket resolves `(score DESC, id ASC)` ties exactly as the
+  * global sort would. Rows with NULL/NaN score are never selected (they
+  * carry no defined rank) — route them explicitly upstream if they matter.
+  */
+object Curation {
+
+  /** Rows of `df` the global greedy budget prefix keeps, in their original
+    * schema. `idCol` must be unique (the deterministic tie-break);
+    * `tokensCol` is cast to long; `budget` is the inclusive cumulative
+    * cap (a row is kept iff the running total THROUGH it stays ≤ budget —
+    * the first over-budget document is dropped, matching
+    * `cum <= budget` over the sorted prefix).
+    */
+  def selectWithinBudget(df: DataFrame, idCol: String, scoreCol: String,
+                         tokensCol: String, budget: Long,
+                         numBuckets: Int = 128, kllK: Int = 400): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    val spark = df.sparkSession
+    if (budget == 0L) return df.limit(0)
+
+    val score = col(scoreCol).cast("double")
+    val toks = col(tokensCol).cast("long")
+    // KLL rejects NaN by contract; unrankable rows are out of the running
+    // anyway, so the boundary build sees only ranked scores
+    val ranked = df.filter(score.isNotNull && !isnan(score))
+    val bounds = RangePartition.boundaries(ranked, scoreCol, numBuckets, kllK)
+    // NULL bucket (NaN / NULL score) drops out of every comparison below
+    val bucketed = df.withColumn("__graft_cb",
+      RangePartition.bucketColumn(score, bounds))
+
+    // tiny aggregate: one row per realized bucket
+    val perBucket = bucketed
+      .filter(col("__graft_cb").isNotNull)
+      .groupBy(col("__graft_cb")).agg(sum(toks).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1) // highest score bucket first
+
+    // walk down: buckets that fit wholesale, then the boundary bucket
+    var cum = 0L
+    var boundaryBucket = -1
+    var remaining = 0L
+    val fullyAccepted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val it = perBucket.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, t) = it.next()
+      if (cum + t <= budget) { fullyAccepted += b; cum += t }
+      else { boundaryBucket = b; remaining = budget - cum; done = true }
+    }
+
+    val acceptedSet = fullyAccepted.toSet
+    val accepted =
+      if (acceptedSet.isEmpty) bucketed.limit(0)
+      else bucketed.filter(col("__graft_cb").isInCollection(acceptedSet))
+
+    val out =
+      if (boundaryBucket < 0) accepted
+      else {
+        // exact prefix sum over the single equi-depth sliver only
+        val w = Window.orderBy(score.desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sliver = bucketed.filter(col("__graft_cb") === boundaryBucket)
+          .withColumn("__graft_cum", sum(toks).over(w))
+          .filter(col("__graft_cum") <= remaining)
+          .drop("__graft_cum")
+        accepted.unionByName(sliver)
+      }
+    out.drop("__graft_cb")
+  }
+
+  /** [[selectWithinBudget]] with the budget given as a fraction of the
+    * corpus total (integer floor of `total * num / den` — exact long
+    * arithmetic, engine-portable). One extra tiny aggregate for the total.
+    */
+  def selectWithinBudgetFraction(df: DataFrame, idCol: String, scoreCol: String,
+                                 tokensCol: String, num: Long, den: Long,
+                                 numBuckets: Int = 128, kllK: Int = 400): DataFrame = {
+    require(den > 0 && num >= 0, "fraction must be non-negative")
+    val total = df.agg(sum(col(tokensCol).cast("long"))).head.getLong(0)
+    val budget = (BigInt(total) * num / den).toLong // overflow-safe; driver-side once
+    selectWithinBudget(df, idCol, scoreCol, tokensCol, budget, numBuckets, kllK)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: scores with heavy ties, tokens varied
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      ((col("id") * 37 % 101).cast("double") / 101.0).as("score"),
+      (col("id") % 50 + 1).cast("long").as("tokens"))
+
+  // the global-sort oracle, locally
+  private def oracle(rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, _, t) =>
+      cum += t
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  private def selected(df: DataFrame, budget: Long, buckets: Int = 16): Set[Long] =
+    Curation.selectWithinBudget(df, "id", "score", "tokens", budget, buckets)
+      .select("id").as[Long].collect().toSet
+
+  test("matches the global (score DESC, id) greedy prefix at many budgets") {
+    val df = corpus(3000).cache()
+    val rows = df.as[(Long, Double, Long)].collect().toSeq
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(0L, 1L, 57L, total / 10, total / 3, total - 1, total, total + 99)) {
+      assert(selected(df, budget) == oracle(rows, budget), s"budget $budget")
+    }
+    df.unpersist()
+  }
+
+  test("exact under heavy score atoms (ties heavier than one bucket)") {
+    // only 3 distinct scores over 2000 rows: boundary collapse forces a
+    // mega-bucket; within-tie order must be by id
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 3).cast("double").as("score"),
+      lit(7L).as("tokens"))
+    val rows = df.as[(Long, Double, Long)].collect().toSeq
+    for (budget <- Seq(70L, 7L * 666, 7L * 1500)) {
+      assert(selected(df, budget, buckets = 8) == oracle(rows, budget), s"budget $budget")
+    }
+  }
+
+  test("deterministic across partitionings and bucket counts") {
+    val df = corpus(4000)
+    val budget = 4000L * 10
+    val a = selected(df, budget, buckets = 4)
+    val b = selected(df.repartition(23), budget, buckets = 128)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("NULL and NaN scores are never selected") {
+    val df = spark.range(100).select(col("id"),
+      when(col("id") % 10 === 0, lit(Double.NaN))
+        .when(col("id") % 10 === 1, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("score"),
+      lit(1L).as("tokens"))
+    val got = selected(df, 1000L)
+    assert(got.forall(id => id % 10 >= 2))
+    assert(got.size == 80) // every ranked row fits the budget
+  }
+
+  test("budget covering the whole corpus takes a window-free plan") {
+    val df = corpus(500)
+    val out = Curation.selectWithinBudget(df, "id", "score", "tokens", Long.MaxValue, 16)
+    val windows = out.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, "full acceptance must not sort anything")
+    assert(out.count() == 500)
+  }
+
+  test("fraction helper floors total * num / den exactly") {
+    val df = corpus(1000).cache()
+    val rows = df.as[(Long, Double, Long)].collect().toSeq
+    val total = rows.map(_._3).sum
+    val got = Curation.selectWithinBudgetFraction(df, "id", "score", "tokens", 2, 5)
+      .select("id").as[Long].collect().toSet
+    assert(got == oracle(rows, total * 2 / 5))
+    df.unpersist()
+  }
+
+  test("original schema is preserved, zero budget selects nothing") {
+    val df = corpus(100).withColumn("extra", concat(lit("x"), col("id")))
+    val out = Curation.selectWithinBudget(df, "id", "score", "tokens", 0L)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.count() == 0)
+    val out2 = Curation.selectWithinBudget(df, "id", "score", "tokens", 500L)
+    assert(out2.columns.toSeq == df.columns.toSeq)
+  }
+}
