@@ -997,6 +997,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- per-group token budgets ("2k tokens per language"): windowed
+    // prefix sum partitioned by group — groups parallelize across tasks;
+    // the oracle runs the identical per-lang window ---
+    "q56_budget_per_group" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("score"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      Curation.selectWithinBudgetPerGroup(d, "lang", "doc_id", "score", "tokens", 2000L)
+        .select(col("lang"), col("doc_id").as("id"), col("tokens"))
+        .orderBy(col("lang"), col("id"))
+    }),
+
     // --- PII scrubbing: deterministic synthetic PII (email / phone / SSN
     // / card / IP) appended to every even doc, the map-only regex chain
     // redacts it, and per-class counts come off the scrubbed text; the
@@ -1452,6 +1464,16 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sc)
         |SELECT doc_id AS id, CAST(tokens AS BIGINT) AS tokens
         |FROM w, tot WHERE cum <= tt * 2 // 5 ORDER BY id""".stripMargin,
+
+    "q56_budget_per_group" ->
+      s"""WITH $qualityScoreCtes,
+        |sl AS (SELECT sc.doc_id, sc.tokens, sc.score, d.lang
+        |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+        |w AS (SELECT lang, doc_id, tokens,
+        |  sum(tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sl)
+        |SELECT lang, doc_id AS id, CAST(tokens AS BIGINT) AS tokens
+        |FROM w WHERE cum <= 2000 ORDER BY lang, id""".stripMargin,
 
     "q55_pii_scrub" ->
       s"""WITH $piiCorpusCte,

@@ -101,6 +101,33 @@ object Curation {
     out.drop("__graft_cb")
   }
 
+  /** Per-group budgets: within EACH group (language, source, domain
+    * tier), keep the `(score DESC, id ASC)` greedy prefix under
+    * `budgetPerGroup` tokens — "2B tokens per language" curation.
+    *
+    * Plan shape differs from the global variant on purpose: a window
+    * partitioned by the group column distributes groups across tasks, so
+    * the prefix sums run fully parallel with NO driver step and no KLL
+    * pass — the right plan while every single group fits a task. A group
+    * so large it dominates the corpus degenerates to the global problem:
+    * run [[selectWithinBudget]] on that group's slice instead (same
+    * selection, boundary-bucket plan). NULL/NaN scores are excluded, as
+    * in the global variant.
+    */
+  def selectWithinBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                                 scoreCol: String, tokensCol: String,
+                                 budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup >= 0L, "budget must be non-negative")
+    val score = col(scoreCol).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(score.isNotNull && !isnan(score))
+      .withColumn("__graft_cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("__graft_cum") <= budgetPerGroup)
+      .drop("__graft_cum")
+  }
+
   /** [[selectWithinBudget]] with the budget given as a fraction of the
     * corpus total (integer floor of `total * num / den` — exact long
     * arithmetic, engine-portable). One extra tiny aggregate for the total.

@@ -1,8 +1,7 @@
 package graft.ops
 
 import graft.functions._
-import graft.pipeline.ShardedBloom
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — flag training documents whose character
@@ -106,23 +105,26 @@ object Decontaminate {
       .head.getAs[Array[Byte]](0)
 
   /** Map-only contamination stats at corpus scale: the benchmark filter
-    * is a real Spark broadcast probed by a codegen'd expression inside a
-    * higher-order `filter` over each document's shingle array — the plan
-    * has NO join, NO explode and NO shuffle; each task streams its
-    * documents once. Guarantees: `contaminated` here ≥ the exact count
-    * (no false negatives), exceeding it only by Bloom false positives
-    * (≤ fpp per clean n-gram in expectation).
+    * rides a real Spark broadcast into the fused
+    * [[graft.expr.NgramBloomStats]] expression — one codegen'd pass per
+    * document (distinct shingles + Bloom probes, no array
+    * materialization); the plan has NO join, NO explode and NO shuffle.
+    * Guarantees: `contaminated` here ≥ the exact count (no false
+    * negatives), exceeding it only by Bloom false positives (≤ fpp per
+    * clean n-gram in expectation).
     */
   def overlapStatsBloom(docs: DataFrame, idCol: String, textCol: String,
                         benchBlob: Array[Byte],
                         width: Int = 16, step: Int = 4): DataFrame = {
     val bcast = docs.sparkSession.sparkContext.broadcast(Array(benchBlob))
-    val shs = shingles(textCol, width, step)
-    val hits = size(filter(shs, s => ShardedBloom.mightContain(bcast, s)))
-    docs.select(col(idCol).as("id"),
-      size(shs).cast("long").as("ngrams"),
-      hits.cast("long").as("contaminated"),
-      (hits.cast("double") /
-        greatest(size(shs), lit(1)).cast("double")).as("contamination_frac"))
+    val st = GraftSqlBridge.column(graft.expr.NgramBloomStats(
+      GraftSqlBridge.expression(col(textCol)), width, step, bcast))
+    docs.withColumn("__graft_nbs", st)
+      .select(col(idCol).as("id"),
+        col("__graft_nbs.ngrams").as("ngrams"),
+        col("__graft_nbs.hits").as("contaminated"),
+        (col("__graft_nbs.hits").cast("double") /
+          greatest(col("__graft_nbs.ngrams"), lit(1L)).cast("double"))
+          .as("contamination_frac"))
   }
 }

@@ -79,6 +79,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() == 500)
   }
 
+  test("per-group budgets: each group independently matches its greedy prefix") {
+    val df = spark.range(3000).select(col("id"),
+      (col("id") % 7).cast("string").as("g"),
+      ((col("id") * 31 % 97).cast("double") / 97.0).as("score"),
+      (col("id") % 40 + 1).cast("long").as("tokens"))
+    val rows = df.as[(Long, String, Double, Long)].collect().toSeq
+    val budget = 600L
+    val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy { case (id, _, s, _) => (-s, id) }.flatMap { case (id, _, _, t) =>
+        cum += t
+        if (cum <= budget) Some(id) else None
+      }
+    }.toSet
+    val got = Curation.selectWithinBudgetPerGroup(df, "g", "id", "score", "tokens", budget)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // schema preserved
+    assert(Curation.selectWithinBudgetPerGroup(df, "g", "id", "score", "tokens", budget)
+      .columns.toSeq == df.columns.toSeq)
+  }
+
   test("fraction helper floors total * num / den exactly") {
     val df = corpus(1000).cache()
     val rows = df.as[(Long, Double, Long)].collect().toSeq

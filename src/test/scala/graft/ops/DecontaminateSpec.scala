@@ -100,6 +100,41 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(inflated <= 2, s"too many Bloom-inflated docs: $inflated")
   }
 
+  test("fused NgramBloomStats == declarative HOF chain, incl. multibyte text") {
+    import graft.pipeline.ShardedBloom
+    import org.apache.spark.sql.GraftSqlBridge
+    val bench = Seq((0L, "héllo wörld ünïcode bénchmark téxt — 日本語のテキストです"),
+      (1L, "plain ascii benchmark text for the filter")).toDF("bid", "btext")
+    val docs = mkDocs(Seq(
+      0L -> "contains héllo wörld ünïcode bénchmark téxt inside",
+      1L -> "日本語のテキストです and more",
+      2L -> "nothing shared at all here",
+      3L -> "x", // shorter than width
+      4L -> "plain ascii benchmark text for the filter"))
+    val blob = Decontaminate.buildBenchFilter(bench, "btext", W, 1000L, 0.001f)
+    // the original declarative spelling, evaluated for comparison
+    val bcast = spark.sparkContext.broadcast(Array(blob))
+    val shs = Decontaminate.shingles("text", W, S)
+    val hof = docs.select(col("id"),
+        size(shs).cast("long").as("ngrams"),
+        size(filter(shs, sh => ShardedBloom.mightContain(bcast, sh)))
+          .cast("long").as("contaminated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fused = Decontaminate.overlapStatsBloom(docs, "id", "text", blob, W, S)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fused == hof)
+    assert(fused(0L)._2 > 0L && fused(2L)._2 == 0L)
+    // and the fused plan participates in whole-stage codegen (range-based
+    // input — a LocalRelation would eagerly collapse to LocalTableScan)
+    val rangeDocs = spark.range(50).select(col("id"),
+      concat(lit("document body with héllo wörld "), col("id")).as("text"))
+    val plan = Decontaminate.overlapStatsBloom(rangeDocs, "id", "text", blob, W, S)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in plan:\n$plan")
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.expr.NgramBloomStats]))
+  }
+
   test("bloom and exact stats agree on ngram totals and row coverage") {
     val bench = Seq((0L, "some held out evaluation text")).toDF("bid", "btext")
     val docs = mkDocs((0 until 50).map(i => (i.toLong, s"document body $i")))
