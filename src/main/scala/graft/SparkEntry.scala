@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions._
-import graft.ops.{Curation, Decontaminate, Dedup, MediaCodecs, Multimodal, Pii, Sampling, Similarity, TextOps}
+import graft.ops.{Curation, Decontaminate, Dedup, Html, MediaCodecs, Multimodal, Pii, Sampling, Similarity, TextOps}
 import graft.pipeline.SketchPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1036,6 +1036,34 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- HTML → text extraction: deterministic synthetic pages wrap every
+    // doc's text (title/style/script/comment/blocks/entities/anchors), the
+    // map-only regex chain extracts readable text + title + links, and the
+    // oracle applies the IDENTICAL pattern constants (Java-regex ∩ RE2 by
+    // design, the q55 contract) in DuckDB ---
+    "q57_html_extract" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val pages = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title> Doc "), idStr, lit(" &amp; friends </title>"),
+        lit("<style type=\"text/css\">body { color: #fff; }</style></head>"),
+        lit("<body><!-- secret "), idStr,
+        lit(" --><script>if (1 < 2) { alert(\"x&y\"); }</script>"),
+        lit("<h1>Heading "), idStr, lit("</h1><p>"), col("text"), lit("</p>"),
+        lit("<div>Tail &lt;b&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</div>"),
+        lit("<ul><li>item one</li><li>item two</li></ul>"),
+        lit("<a href=\"https://example.com/p?id="), idStr,
+        lit("&amp;ref=home\">first</a> <br/>"),
+        lit("<a href=\"/rel/"), idStr, lit(".html\">second</a></body></html>"))
+        .as("html"))
+      val links = Html.htmlLinks(col("html"))
+      pages.select(col("doc_id").as("id"),
+          Html.htmlTitle(col("html")).as("title"),
+          Html.htmlToText(col("html")).as("text"),
+          size(links).cast("long").as("n_links"),
+          element_at(links, 1).as("first_link"))
+        .orderBy(col("id"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1140,6 +1168,37 @@ object SparkEntry {
       |  ELSE text END AS t FROM documents)""".stripMargin
   // NOTE: interpolated into an outer .stripMargin — no line above may
   // start with '|' after this val's own margin strip
+
+  /** DuckDB rendering of [[Html.Entities]] decode (same order, `&amp;`
+    * last); the apostrophe value goes through chr(39) to dodge SQL quoting.
+    */
+  private def duckEntityDecode(x: String): String =
+    Html.Entities.foldLeft(x) { case (acc, (e, ch)) =>
+      val rep = if (ch == "'") "chr(39)" else s"'$ch'"
+      s"replace($acc, '$e', $rep)"
+    }
+
+  /** DuckDB rendering of the whitespace collapse in [[Html.htmlToText]]. */
+  private def duckCollapseWs(x: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($x, " +
+      s"'${Html.HSpacePattern}', ' ', 'g'), " +
+      s"'${Html.NlClusterPattern}', chr(10), 'g'), " +
+      s"'${Html.EdgePattern}', '', 'g')"
+
+  /** q57's synthetic page corpus, shared verbatim by the Spark query. */
+  private val htmlCorpusCte =
+    """h AS (SELECT doc_id,
+      |  '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends </title>' ||
+      |  '<style type="text/css">body { color: #fff; }</style></head>' ||
+      |  '<body><!-- secret ' || CAST(doc_id AS VARCHAR) ||
+      |  ' --><script>if (1 < 2) { alert("x&y"); }</script>' ||
+      |  '<h1>Heading ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
+      |  '<div>Tail &lt;b&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</div>' ||
+      |  '<ul><li>item one</li><li>item two</li></ul>' ||
+      |  '<a href="https://example.com/p?id=' || CAST(doc_id AS VARCHAR) ||
+      |  '&amp;ref=home">first</a> <br/>' ||
+      |  '<a href="/rel/' || CAST(doc_id AS VARCHAR) || '.html">second</a></body></html>' AS html
+      | FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1491,6 +1550,24 @@ object SparkEntry {
         |  CAST((length(scrubbed) - length(replace(scrubbed, '[CARD]', ''))) // 6 AS BIGINT) AS cards,
         |  CAST((length(scrubbed) - length(replace(scrubbed, '[PHONE]', ''))) // 7 AS BIGINT) AS phones
         |FROM s ORDER BY id""".stripMargin,
+
+    "q57_html_extract" ->
+      s"""WITH $htmlCorpusCte,
+        |s1 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '${Html.ScriptPattern}', ' ', 'g'),
+        |    '${Html.StylePattern}', ' ', 'g'),
+        |    '${Html.CommentPattern}', ' ', 'g'),
+        |    '${Html.BlockClosePattern}', chr(10), 'g'),
+        |    '${Html.TagPattern}', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, html, ${duckCollapseWs(duckEntityDecode("x"))} AS text FROM s1),
+        |lk AS (SELECT doc_id, html, text,
+        |  regexp_extract_all(html, '${Html.HrefPattern}', 1) AS rl FROM s2)
+        |SELECT doc_id AS id,
+        |  ${duckCollapseWs(duckEntityDecode(s"regexp_extract(html, '${Html.TitlePattern}', 1)"))} AS title,
+        |  text, CAST(len(rl) AS BIGINT) AS n_links,
+        |  list_transform(rl, l -> ${duckEntityDecode("l")})[1] AS first_link
+        |FROM lk ORDER BY id""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,
