@@ -1064,6 +1064,30 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- WARC sink + source round trip: every doc becomes a crawl record
+    // (deterministic ids), the V2 source reads it back (one task per file,
+    // payload-level column pruning), and per-lang counts + UTF-8 byte
+    // totals + exact-content verdicts check against the parquet originals;
+    // the oracle recomputes the same aggregates straight off documents ---
+    "q58_warc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q58").toString
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      graft.data.Warc.save(docs.repartition(4).select(
+        concat(lit("https://example.com/d/"), col("doc_id")).as("url"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain; charset=utf-8").as("content_type")), tmp)
+      val crawl = s.read.format("warc").load(tmp).select(
+        regexp_extract(col("url"), "/d/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("content_length"),
+        decode(col("content"), "UTF-8").as("rt"))
+      crawl.join(docs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("content_length")).as("bytes"),
+          (sum(when(col("rt") === col("text"), 0).otherwise(1)) === 0).as("exact"))
+        .orderBy(col("lang"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1568,6 +1592,11 @@ object SparkEntry {
         |  text, CAST(len(rl) AS BIGINT) AS n_links,
         |  list_transform(rl, l -> ${duckEntityDecode("l")})[1] AS first_link
         |FROM lk ORDER BY id""".stripMargin,
+
+    "q58_warc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(strlen(text)) AS BIGINT) AS bytes, true AS exact
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,

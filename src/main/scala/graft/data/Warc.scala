@@ -1,0 +1,263 @@
+package graft.data
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import graft.core.Fnv
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) wire codec + distributed sink — the
+  * standard container for web crawls (Common Crawl et al.), which makes it
+  * the natural ingest format for every operator in this library.
+  *
+  * Wire format (one record):
+  * {{{
+  *   WARC/1.0\r\n
+  *   <Name>: <value>\r\n ...          (folded continuations supported)
+  *   \r\n
+  *   <Content-Length payload bytes>
+  *   \r\n\r\n
+  * }}}
+  * `.warc.gz` files hold one gzip member PER RECORD, concatenated — the
+  * standard layout that allows record-level random access;
+  * `GZIPInputStream` reads concatenated members natively.
+  *
+  * Scale design:
+  *  - the read path is a DataSource V2 ([[WarcDataSource]], registered as
+  *    `spark.read.format("warc")`) with ONE input partition per file —
+  *    gzip and the record framing are not splittable, the same contract
+  *    Spark's own text source applies to `.gz` files; crawls ship as many
+  *    ~1 GB files, so file-parallelism saturates a cluster;
+  *  - column pruning is pushed into the record parser: a query that never
+  *    touches `content` skips the payload bytes instead of buffering them
+  *    (see [[Warc.records]]' `skipContent`) — a metadata scan over 100 TB
+  *    of WARC moves headers only;
+  *  - [[Warc.save]] is a distributed sink: one `.warc.gz` file per
+  *    non-empty partition, written straight to the Hadoop filesystem —
+  *    no driver funnel.
+  */
+object Warc {
+
+  /** The full read schema (pruned per-query by Catalyst via
+    * [[WarcScanBuilder]]).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_type", StringType),
+    StructField("warc_date", TimestampType),
+    StructField("record_id", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("content", BinaryType)))
+
+  /** One parsed record; `content` is null when the scan pruned it. */
+  final case class WarcRecord(
+      recordId: String,
+      warcType: String,
+      warcDate: String,
+      targetUri: String,
+      contentType: String,
+      contentLength: Long,
+      headers: Seq[(String, String)],
+      content: Array[Byte])
+
+  // ----------------------------------------------------------- parsing
+
+  /** Records of a WARC stream. Strict: a malformed version line or a
+    * missing Content-Length fails with the byte offset — a crawl archive
+    * that trips this is corrupt, and silently skipping would undercount.
+    */
+  def records(in0: InputStream, gzipped: Boolean,
+              skipContent: Boolean = false): Iterator[WarcRecord] = {
+    val in = if (gzipped) new GZIPInputStream(in0, 1 << 16) else in0
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+      private var offset = 0L
+
+      private def readLine(): String = {
+        val sb = new java.lang.StringBuilder(80)
+        var b = in.read()
+        while (b != -1 && b != '\n') { sb.append(b.toChar); offset += 1; b = in.read() }
+        if (b == -1 && sb.length() == 0) null
+        else {
+          if (b == '\n') offset += 1
+          var n = sb.length()
+          if (n > 0 && sb.charAt(n - 1) == '\r') { sb.setLength(n - 1); n -= 1 }
+          sb.toString
+        }
+      }
+
+      private def advance(): Unit = {
+        // tolerate blank padding between records
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null) { done = true; return }
+        if (!line.startsWith("WARC/"))
+          throw new java.io.IOException(
+            s"malformed WARC record at offset ~$offset: version line '$line'")
+        val hs = Seq.newBuilder[(String, String)]
+        var last: (String, String) = null
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null) {
+            last = (last._1, last._2 + " " + h.trim) // folded continuation
+          } else {
+            if (last != null) hs += last
+            val i = h.indexOf(':')
+            if (i < 0) throw new java.io.IOException(
+              s"malformed WARC header at offset ~$offset: '$h'")
+            last = (h.substring(0, i).trim, h.substring(i + 1).trim)
+          }
+          h = readLine()
+        }
+        if (last != null) hs += last
+        val headers = hs.result()
+        def hv(name: String): String =
+          headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }.orNull
+        val lenStr = hv("Content-Length")
+        if (lenStr == null) throw new java.io.IOException(
+          s"WARC record at offset ~$offset has no Content-Length")
+        val len = lenStr.toLong
+        val content =
+          if (skipContent) { skipFully(in, len); null }
+          else readFully(in, len)
+        offset += len
+        nextRec = WarcRecord(hv("WARC-Record-ID"), hv("WARC-Type"),
+          hv("WARC-Date"), hv("WARC-Target-URI"), hv("Content-Type"),
+          len, headers, content)
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    require(n <= Int.MaxValue, s"WARC payload too large for one record: $n")
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: $off of $n bytes")
+      off += r
+    }
+    buf
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    val buf = new Array[Byte](8192)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length).toInt)
+      if (r < 0) throw new EOFException(s"truncated WARC payload: $left bytes short")
+      left -= r
+    }
+  }
+
+  // --------------------------------------------------------- serializing
+
+  /** Write one record (headers + payload + record separator) to `out`. */
+  def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    def h(k: String, v: String): Unit =
+      if (v != null) sb.append(k).append(": ").append(v).append("\r\n")
+    h("WARC-Record-ID", r.recordId)
+    h("WARC-Type", r.warcType)
+    h("WARC-Date", r.warcDate)
+    h("WARC-Target-URI", r.targetUri)
+    h("Content-Type", r.contentType)
+    h("Content-Length", String.valueOf(if (r.content == null) 0 else r.content.length))
+    sb.append("\r\n")
+    out.write(sb.toString.getBytes(UTF_8))
+    if (r.content != null) out.write(r.content)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+  }
+
+  /** Deterministic record id for [[save]] (no wall clock / RNG — replays
+    * byte-identically): seeded FNV-1a over the target URI and length.
+    */
+  def deterministicId(uri: String, len: Int): String = {
+    val b = (if (uri == null) "" else uri).getBytes(UTF_8)
+    f"urn:graft:${Fnv.fnv1a(b, 0) ^ len}%016x"
+  }
+
+  // ----------------------------------------------------------- Spark API
+
+  /** Read WARC files through the V2 source (column pruning reaches the
+    * parser; one task per file).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("warc").load(path)
+
+  /** Distributed WARC sink: one `.warc(.gz)` file per non-empty partition.
+    *
+    * Input columns: `url` string, `content` binary; optional `warc_type`,
+    * `content_type` strings and `warc_date` timestamp (defaults:
+    * "response", "application/octet-stream", epoch). Record ids are
+    * deterministic ([[deterministicId]]) so a replayed write is
+    * byte-identical — the same idempotence contract as the checkpointed
+    * sketch pipeline.
+    *
+    * Returns the number of files written.
+    */
+  def save(df: DataFrame, dir: String, gzip: Boolean = true): Int = {
+    val cols = df.columns.toSet
+    def opt(name: String, default: Column): Column =
+      if (cols(name)) coalesce(col(name).cast("string"), default) else default
+    val norm = df.select(
+      col("url").cast("string").as("url"),
+      col("content").cast("binary").as("content"),
+      opt("warc_type", lit("response")).as("warc_type"),
+      opt("content_type", lit("application/octet-stream")).as("content_type"),
+      if (cols("warc_date"))
+        coalesce(date_format(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit("1970-01-01T00:00:00Z")).as("warc_date")
+      else lit("1970-01-01T00:00:00Z").as("warc_date"))
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val written = norm.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$pid%05d$ext")
+        val fs = path.getFileSystem(new Configuration())
+        val raw = new BufferedOutputStream(fs.create(path, true), 1 << 16)
+        var n = 0L
+        try {
+          rows.foreach { row =>
+            val content = row.getAs[Array[Byte]]("content")
+            val uri = row.getAs[String]("url")
+            val rec = WarcRecord(
+              deterministicId(uri, if (content == null) 0 else content.length),
+              row.getAs[String]("warc_type"), row.getAs[String]("warc_date"),
+              uri, row.getAs[String]("content_type"),
+              if (content == null) 0 else content.length,
+              Seq.empty, if (content == null) Array.emptyByteArray else content)
+            if (gzip) { // one gzip member per record (standard random-access layout)
+              val gz = new GZIPOutputStream(raw, 1 << 14)
+              writeRecord(gz, rec)
+              gz.finish()
+            } else writeRecord(raw, rec)
+            n += 1
+          }
+        } finally raw.close()
+        Iterator.single(1)
+      }
+    }.collect().length
+    written
+  }
+}

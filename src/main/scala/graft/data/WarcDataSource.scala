@@ -1,0 +1,177 @@
+package graft.data
+
+import java.io.BufferedInputStream
+import java.time.Instant
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("warc")` — DataSource V2 over WARC crawl archives.
+  *
+  * Plan shape at scale (see [[Warc]]'s scale notes):
+  *  - one [[InputPartition]] per `.warc`/`.warc.gz` file (the framing and
+  *    per-record gzip members are not splittable — identical to Spark's
+  *    own `.gz` text contract); a 100-TB crawl is O(100k) files, far above
+  *    any cluster's core count, so scheduling stays saturated;
+  *  - [[SupportsPushDownRequiredColumns]] pushes column pruning INTO the
+  *    record parser: when `content` is pruned the payload bytes are
+  *    skipped, not buffered, so metadata scans never materialize bodies
+  *    (`.explain` shows the pruned ReadSchema on the BatchScan node).
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new WarcTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[data] class WarcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"warc(${WarcTable.paths(options).mkString(",")})"
+  override def schema(): StructType = Warc.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(o)
+    new WarcScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[data] object WarcTable {
+  /** `load(paths*)` passes one `path` or a JSON-array `paths` option. */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val multi = options.get("paths")
+    if (multi != null) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      out ++= mapper.readValue(multi, classOf[Array[String]])
+    }
+    val single = options.get("path")
+    if (single != null) out += single
+    require(out.nonEmpty, "warc source requires a path: spark.read.format(\"warc\").load(dir)")
+    out.toSeq
+  }
+
+  private def isWarcFile(name: String): Boolean =
+    (name.endsWith(".warc") || name.endsWith(".warc.gz")) &&
+      !name.startsWith("_") && !name.startsWith(".")
+
+  /** Driver-side file expansion (dirs list non-recursively, globs expand),
+    * sorted for deterministic partition numbering.
+    */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths(options).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stats =
+        if (p.exists("*?[{".contains(_))) fs.globStatus(path).toSeq
+        else Seq(fs.getFileStatus(path))
+      stats.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && isWarcFile(s.getPath.getName))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.distinct.sorted
+  }
+}
+
+private[data] class WarcScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Warc.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new WarcScan(options, required)
+}
+
+private[data] class WarcScan(options: CaseInsensitiveStringMap,
+                             required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc files=${WarcTable.listFiles(options).size} schema=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcTable.listFiles(options).map(WarcInputPartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required.fieldNames)
+}
+
+private[data] case class WarcInputPartition(path: String) extends InputPartition
+
+private[data] case class WarcReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path, fields)
+}
+
+/** Streams one WARC file; builds only the pruned columns. Uses the default
+  * Hadoop `Configuration` executor-side (classpath `core-site.xml`) — the
+  * local/HDFS cases a crawl reader meets; an object-store with custom conf
+  * belongs behind a mounted config, not per-query options.
+  */
+private[data] class WarcPartitionReader(path: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val needContent = fields.contains("content")
+  private val hPath = new Path(path)
+  private val in = new BufferedInputStream(
+    hPath.getFileSystem(new Configuration()).open(hPath), 1 << 16)
+  private val it = Warc.records(in, gzipped = path.endsWith(".gz"),
+    skipContent = !needContent)
+  private var row: InternalRow = _
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def tsMicros(iso: String): Any =
+    if (iso == null) null
+    else try {
+      val inst = Instant.parse(iso)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    } catch { case _: java.time.format.DateTimeParseException => null }
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val r = it.next()
+    val out = new GenericInternalRow(fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val v: Any = fields(i) match {
+        case "url" => utf8(r.targetUri)
+        case "warc_type" => utf8(r.warcType)
+        case "warc_date" => tsMicros(r.warcDate)
+        case "record_id" => utf8(r.recordId)
+        case "content_type" => utf8(r.contentType)
+        case "content_length" => r.contentLength
+        case "headers" => new ArrayBasedMapData(
+          new GenericArrayData(r.headers.map(h => utf8(h._1)).toArray[Any]),
+          new GenericArrayData(r.headers.map(h => utf8(h._2)).toArray[Any]))
+        case "content" => r.content
+        case other => throw new IllegalArgumentException(s"unknown warc column $other")
+      }
+      out.update(i, v)
+      i += 1
+    }
+    row = out
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
