@@ -1088,6 +1088,26 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- per-file sketch sidecar (data skipping): range-layout the docs
+    // into 8 parquet files, index doc_id (Bloom + min/max per file), and
+    // point-look-up through the index — the result must equal a straight
+    // filter (false positives only cost file reads) AND the prune must
+    // have skipped files; the oracle is the straight filter ---
+    "q59_sketch_index_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_q59").toString
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.data.SketchIndex.build(s, tmp, "doc_id")
+      val keys = Seq("3", "44", "250", "499")
+      val (total, read) = graft.data.SketchIndex.pruneStats(s, tmp, "doc_id", keys)
+      graft.data.SketchIndex.readPruned(s, tmp, "doc_id", keys)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("text_len"),
+          lit(read < total).as("pruned"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1597,6 +1617,12 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
         | CAST(sum(strlen(text)) AS BIGINT) AS bytes, true AS exact
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q59_sketch_index_prune" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+        | true AS pruned
+        |FROM documents WHERE doc_id IN (3, 44, 250, 499)
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,
