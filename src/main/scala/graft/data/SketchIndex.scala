@@ -68,6 +68,80 @@ object SketchIndex {
   def load(spark: SparkSession, tableDir: String, keyCol: String): DataFrame =
     spark.read.parquet(indexPath(tableDir, keyCol))
 
+  /** Incremental [[build]] for append-only tables: scan ONLY data files
+    * not yet in the sidecar and union their rows into it. A daily append
+    * to a 100-TB table re-indexes the day's files, not the table — the
+    * full-rebuild scan is exactly the cost this sidecar exists to avoid.
+    *
+    * File identity is the scan-time path ([[org.apache.spark.sql.functions.input_file_name]]
+    * on both sides), so rewritten/compacted files re-index under their new
+    * names; stale rows for DELETED files are dropped on the way through.
+    *
+    * Returns (files newly indexed, files total after refresh).
+    */
+  def refresh(spark: SparkSession, tableDir: String, keyCol: String,
+              keysPerFile: Long = DefaultKeysPerFile,
+              fpp: Float = 0.01f): (Long, Long) = {
+    val out = indexPath(tableDir, keyCol)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(out))) {
+      val n = build(spark, tableDir, keyCol, keysPerFile, fpp)
+      return (n, n)
+    }
+
+    val df = spark.read.parquet(tableDir)
+    // file listing straight off the FileIndex — no Spark job; formatted
+    // identically to the scan-time input_file_name() the sidecar stores
+    val current = df.inputFiles.toSet
+    val old = load(spark, tableDir, keyCol)
+    val known = old.select("file").collect().map(_.getString(0)).toSet
+    val newFiles = (current -- known).toSeq.sorted
+    val kept = old.filter(col("file").isin(current.toSeq: _*))
+
+    val refreshed =
+      if (newFiles.isEmpty) kept
+      else {
+        val newRows = spark.read.option("basePath", tableDir)
+          .parquet(newFiles: _*)
+          .select(input_file_name().as("file"), col(keyCol).cast("string").as("__k"))
+          .groupBy(col("file"))
+          .agg(
+            count(lit(1)).as("nrows"),
+            min(col("__k")).as("min_key"),
+            max(col("__k")).as("max_key"),
+            bloom_sketch(col("__k"), keysPerFile, fpp).as("bloom"))
+        kept.unionByName(newRows)
+      }
+    // stage then swap: the sidecar is its own source, so never overwrite in place
+    val tmp = out + ".staging"
+    refreshed.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(new Path(out), true)
+    require(fs.rename(new Path(tmp), new Path(out)), s"sidecar swap failed: $tmp -> $out")
+    (newFiles.size.toLong, load(spark, tableDir, keyCol).count())
+  }
+
+  /** Data files whose `[min_key, max_key]` zone overlaps `[lo, hi]`
+    * (string collation — exact for fixed-width key renderings, superset
+    * otherwise; the exact filter downstream keeps results right).
+    */
+  def prunedFilesRange(spark: SparkSession, tableDir: String, keyCol: String,
+                       lo: String, hi: String): Seq[String] =
+    load(spark, tableDir, keyCol)
+      .filter(col("min_key") <= hi && col("max_key") >= lo)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+
+  /** Range scan through the zone maps: read only overlapping files, then
+    * the exact range filter on the ORIGINAL column type.
+    */
+  def readRange(spark: SparkSession, tableDir: String, keyCol: String,
+                lo: String, hi: String): DataFrame = {
+    val files = prunedFilesRange(spark, tableDir, keyCol, lo, hi)
+    val df =
+      if (files.isEmpty) spark.read.parquet(tableDir).limit(0)
+      else spark.read.option("basePath", tableDir).parquet(files: _*)
+    df.filter(col(keyCol).cast("string") >= lo && col(keyCol).cast("string") <= hi)
+  }
+
   /** Data files whose index row can match ANY of `values`: Bloom probe
     * OR'd per value, cheap range check (`min_key <= v <= max_key`, string
     * collation — exact for fixed-width key renderings) applied first so

@@ -60,6 +60,48 @@ class SketchIndexSpec extends AnyFunSuite {
     assert(none.columns.toSet == Set("id", "url", "grp"))
   }
 
+  test("refresh indexes only appended files; stale rows for deleted files drop") {
+    val dir = mkTable(8000, 4)
+    assert(SketchIndex.build(spark, dir, "id") == 4)
+    // append two more files (ids beyond the originals)
+    spark.range(8000, 12000).select(col("id"),
+        concat(lit("u"), col("id")).as("url"), (col("id") % 7).as("grp"))
+      .repartitionByRange(2, col("id"))
+      .write.mode("append").parquet(dir)
+    val (fresh, total) = SketchIndex.refresh(spark, dir, "id")
+    assert(fresh == 2, s"expected 2 new files indexed, got $fresh")
+    assert(total == 6)
+    // index equals a from-scratch rebuild, row for row
+    val afterRefresh = SketchIndex.load(spark, dir, "id")
+      .select("file", "nrows", "min_key", "max_key").orderBy("file").collect().toSeq
+    SketchIndex.build(spark, dir, "id")
+    val rebuilt = SketchIndex.load(spark, dir, "id")
+      .select("file", "nrows", "min_key", "max_key").orderBy("file").collect().toSeq
+    assert(afterRefresh == rebuilt)
+    // lookups work through the refreshed sidecar across old and new files
+    val got = SketchIndex.readPruned(spark, dir, "id", Seq("7999", "11999"))
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7999L, 11999L))
+    // no-op refresh touches nothing
+    assert(SketchIndex.refresh(spark, dir, "id") == ((0L, 6L)))
+  }
+
+  test("readRange prunes by zone maps and filters exactly") {
+    val dir = Files.createTempDirectory("graft_sidx_rng").toString
+    // zero-padded keys so string collation == numeric order
+    spark.range(0, 9000).select(format_string("k%05d", col("id")).as("key"), col("id"))
+      .repartitionByRange(9, col("key"))
+      .write.mode("overwrite").parquet(dir)
+    SketchIndex.build(spark, dir, "key")
+    val files = SketchIndex.prunedFilesRange(spark, dir, "key", "k01000", "k01999")
+    assert(files.nonEmpty && files.size < 9, s"read ${files.size} of 9")
+    val got = SketchIndex.readRange(spark, dir, "key", "k01000", "k01999")
+    assert(got.count() == 1000)
+    assert(got.agg(min("id"), max("id")).head.toSeq == Seq(1000L, 1999L))
+    // empty range reads nothing and returns an empty, schema-correct frame
+    assert(SketchIndex.readRange(spark, dir, "key", "zzz", "zzzz").count() == 0)
+  }
+
   test("partition-directory columns survive a pruned read (basePath)") {
     val dir = Files.createTempDirectory("graft_sidx_part").toString
     spark.range(0, 3000).select(col("id"), (col("id") % 3).as("lang"))
