@@ -96,7 +96,11 @@ object SketchIndex {
     val old = load(spark, tableDir, keyCol)
     val known = old.select("file").collect().map(_.getString(0)).toSet
     val newFiles = (current -- known).toSeq.sorted
-    val kept = old.filter(col("file").isin(current.toSeq: _*))
+    // semi-join, not isin: at O(100k) files an isin literal list is a
+    // 100k-node expression tree; the file list broadcasts as one small table
+    import spark.implicits._
+    val kept = old.join(
+      broadcast(current.toSeq.toDF("file")), Seq("file"), "left_semi")
 
     val refreshed =
       if (newFiles.isEmpty) kept
@@ -146,6 +150,10 @@ object SketchIndex {
     * OR'd per value, cheap range check (`min_key <= v <= max_key`, string
     * collation — exact for fixed-width key renderings) applied first so
     * the Bloom only arbitrates in-range files. Collects file paths only.
+    *
+    * Sized for point/in-list lookups (values up to O(100s) — each value is
+    * one probe expression per index row); a bulk probe set belongs in a
+    * Bloom-semi-join against the data itself, not the file index.
     */
   def prunedFiles(spark: SparkSession, tableDir: String, keyCol: String,
                   values: Seq[String]): Seq[String] = {

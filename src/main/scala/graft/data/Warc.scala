@@ -73,9 +73,16 @@ object Warc {
   /** Records of a WARC stream. Strict: a malformed version line or a
     * missing Content-Length fails with the byte offset — a crawl archive
     * that trips this is corrupt, and silently skipping would undercount.
+    *
+    * `keep` is evaluated on the record's METADATA (content still null)
+    * before the payload is touched: a rejected record's payload bytes are
+    * skipped, not read — this is what pushed-down filters ride, so a
+    * `warc_type = 'response' AND length < 1MB` scan over 100 TB
+    * decompresses headers plus only the matching payloads.
     */
   def records(in0: InputStream, gzipped: Boolean,
-              skipContent: Boolean = false): Iterator[WarcRecord] = {
+              skipContent: Boolean = false,
+              keep: WarcRecord => Boolean = _ => true): Iterator[WarcRecord] = {
     val in = if (gzipped) new GZIPInputStream(in0, 1 << 16) else in0
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
@@ -96,43 +103,49 @@ object Warc {
       }
 
       private def advance(): Unit = {
-        // tolerate blank padding between records
-        var line = readLine()
-        while (line != null && line.isEmpty) line = readLine()
-        if (line == null) { done = true; return }
-        if (!line.startsWith("WARC/"))
-          throw new java.io.IOException(
-            s"malformed WARC record at offset ~$offset: version line '$line'")
-        val hs = Seq.newBuilder[(String, String)]
-        var last: (String, String) = null
-        var h = readLine()
-        while (h != null && h.nonEmpty) {
-          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null) {
-            last = (last._1, last._2 + " " + h.trim) // folded continuation
-          } else {
-            if (last != null) hs += last
-            val i = h.indexOf(':')
-            if (i < 0) throw new java.io.IOException(
-              s"malformed WARC header at offset ~$offset: '$h'")
-            last = (h.substring(0, i).trim, h.substring(i + 1).trim)
+        while (nextRec == null && !done) {
+          // tolerate blank padding between records
+          var line = readLine()
+          while (line != null && line.isEmpty) line = readLine()
+          if (line == null) { done = true; return }
+          if (!line.startsWith("WARC/"))
+            throw new java.io.IOException(
+              s"malformed WARC record at offset ~$offset: version line '$line'")
+          val hs = Seq.newBuilder[(String, String)]
+          var last: (String, String) = null
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null) {
+              last = (last._1, last._2 + " " + h.trim) // folded continuation
+            } else {
+              if (last != null) hs += last
+              val i = h.indexOf(':')
+              if (i < 0) throw new java.io.IOException(
+                s"malformed WARC header at offset ~$offset: '$h'")
+              last = (h.substring(0, i).trim, h.substring(i + 1).trim)
+            }
+            h = readLine()
           }
-          h = readLine()
+          if (last != null) hs += last
+          val headers = hs.result()
+          def hv(name: String): String =
+            headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }.orNull
+          val lenStr = hv("Content-Length")
+          if (lenStr == null) throw new java.io.IOException(
+            s"WARC record at offset ~$offset has no Content-Length")
+          val len = lenStr.toLong
+          val meta = WarcRecord(hv("WARC-Record-ID"), hv("WARC-Type"),
+            hv("WARC-Date"), hv("WARC-Target-URI"), hv("Content-Type"),
+            len, headers, null)
+          if (!keep(meta)) { skipFully(in, len); offset += len } // payload never read
+          else {
+            val content =
+              if (skipContent) { skipFully(in, len); null }
+              else readFully(in, len)
+            offset += len
+            nextRec = if (content == null) meta else meta.copy(content = content)
+          }
         }
-        if (last != null) hs += last
-        val headers = hs.result()
-        def hv(name: String): String =
-          headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }.orNull
-        val lenStr = hv("Content-Length")
-        if (lenStr == null) throw new java.io.IOException(
-          s"WARC record at offset ~$offset has no Content-Length")
-        val len = lenStr.toLong
-        val content =
-          if (skipContent) { skipFully(in, len); null }
-          else readFully(in, len)
-        offset += len
-        nextRec = WarcRecord(hv("WARC-Record-ID"), hv("WARC-Type"),
-          hv("WARC-Date"), hv("WARC-Target-URI"), hv("Content-Type"),
-          len, headers, content)
       }
 
       override def hasNext: Boolean = {
@@ -203,6 +216,47 @@ object Warc {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("warc").load(path)
+
+  // ------------------------------------------------- HTTP payload helpers
+  //
+  // A crawl's `response` records carry a full HTTP message (status line +
+  // headers + CRLFCRLF + body) as the WARC payload — splitting it is the
+  // first thing every Common-Crawl-style pipeline does. These are pure
+  // built-in column chains (byte-preserving ISO-8859-1 decode, instr/
+  // substring/regexp) — map-only, whole-stage codegen, no UDF.
+
+  /** Byte-preserving view of a binary payload (latin-1 maps bytes 1:1 to
+    * chars, so offsets computed on it are byte offsets).
+    */
+  private def latin1(content: Column): Column = decode(content, "ISO-8859-1")
+
+  /** HTTP status code of a response payload (null if not HTTP). */
+  def httpStatus(content: Column): Column = {
+    val first = substring_index(latin1(content), "\r\n", 1)
+    val code = regexp_extract(first, "^HTTP/[0-9.]+ (\\d{3})", 1)
+    when(code =!= "", code.cast("int"))
+  }
+
+  /** First value of an HTTP header (case-insensitive name; null if absent
+    * or the payload is not HTTP). `name` must be a plain token (it is
+    * regex-quoted).
+    */
+  def httpHeader(content: Column, name: String): Column = {
+    val head = substring_index(latin1(content), "\r\n\r\n", 1)
+    val pat = "(?i)(?:^|\r\n)" + java.util.regex.Pattern.quote(name) + ":[ \t]*([^\r\n]*)"
+    val v = regexp_extract(head, pat, 1)
+    when(httpStatus(content).isNotNull && v =!= "", v)
+  }
+
+  /** HTTP body bytes of a response payload; the payload unchanged when it
+    * is not an HTTP message (metadata/conversion records pass through).
+    */
+  def httpBody(content: Column): Column = {
+    val s = latin1(content)
+    val sep = instr(s, "\r\n\r\n")
+    when(httpStatus(content).isNull || sep === 0, content)
+      .otherwise(encode(substring(s, sep + 4, lit(Int.MaxValue)), "ISO-8859-1"))
+  }
 
   /** Distributed WARC sink: one `.warc(.gz)` file per non-empty partition.
     *

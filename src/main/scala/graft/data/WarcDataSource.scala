@@ -14,8 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,31 +94,110 @@ private[data] object WarcTable {
   }
 }
 
+/** Metadata-filter pushdown for the WARC reader.
+  *
+  * Supported filters are evaluated on a record's HEADERS, before its
+  * payload is read — a rejected record's body is skipped byte-for-byte
+  * ([[Warc.records]]' `keep`), so `warc_type = 'response'` over a crawl
+  * decompresses headers plus only the matching payloads. Every filter is
+  * ALSO returned to Spark as a post-scan residual: the reader-side eval
+  * is an I/O optimization, never the correctness gate, so its only
+  * obligation is to never under-keep (it returns `false` for a
+  * null-valued field exactly where SQL yields unknown → dropped, and
+  * `Not` can then only over-keep).
+  */
+private[data] object WarcFilters {
+  private val MetaCols =
+    Set("url", "warc_type", "record_id", "content_type", "content_length")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => MetaCols(a)
+    case In(a, _) => MetaCols(a)
+    case StringStartsWith(a, _) => MetaCols(a)
+    case StringEndsWith(a, _) => MetaCols(a)
+    case StringContains(a, _) => MetaCols(a)
+    case GreaterThan(a, _) => a == "content_length"
+    case GreaterThanOrEqual(a, _) => a == "content_length"
+    case LessThan(a, _) => a == "content_length"
+    case LessThanOrEqual(a, _) => a == "content_length"
+    case IsNotNull(a) => MetaCols(a)
+    case IsNull(a) => MetaCols(a)
+    case SAnd(l, r) => supported(l) && supported(r)
+    case SOr(l, r) => supported(l) && supported(r)
+    case SNot(c) => supported(c)
+    case _ => false
+  }
+
+  private def str(r: Warc.WarcRecord, a: String): String = a match {
+    case "url" => r.targetUri
+    case "warc_type" => r.warcType
+    case "record_id" => r.recordId
+    case "content_type" => r.contentType
+    case other => throw new IllegalArgumentException(s"not a string meta column: $other")
+  }
+
+  private def lng(v: Any): Long = v.asInstanceOf[Number].longValue()
+
+  def eval(f: Filter, r: Warc.WarcRecord): Boolean = f match {
+    case EqualTo("content_length", v) => r.contentLength == lng(v)
+    case GreaterThan("content_length", v) => r.contentLength > lng(v)
+    case GreaterThanOrEqual("content_length", v) => r.contentLength >= lng(v)
+    case LessThan("content_length", v) => r.contentLength < lng(v)
+    case LessThanOrEqual("content_length", v) => r.contentLength <= lng(v)
+    case In("content_length", vs) => vs.exists(v => v != null && r.contentLength == lng(v))
+    case IsNotNull("content_length") | IsNull("content_length") =>
+      f.isInstanceOf[IsNotNull] // content_length is never null
+    case EqualTo(a, v) => { val s = str(r, a); s != null && s == v }
+    case In(a, vs) => { val s = str(r, a); s != null && vs.contains(s) }
+    case StringStartsWith(a, p) => { val s = str(r, a); s != null && s.startsWith(p) }
+    case StringEndsWith(a, p) => { val s = str(r, a); s != null && s.endsWith(p) }
+    case StringContains(a, p) => { val s = str(r, a); s != null && s.contains(p) }
+    case IsNotNull(a) => str(r, a) != null
+    case IsNull(a) => str(r, a) == null
+    case SAnd(l, r2) => eval(l, r) && eval(r2, r)
+    case SOr(l, r2) => eval(l, r) || eval(r2, r)
+    case SNot(c) => !eval(c, r)
+    case other => throw new IllegalArgumentException(s"unsupported pushed filter: $other")
+  }
+}
+
 private[data] class WarcScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = Warc.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new WarcScan(options, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarcFilters.supported)
+    filters // ALL filters stay post-scan residuals (reader eval = I/O saving only)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(options, required, pushed)
 }
 
 private[data] class WarcScan(options: CaseInsensitiveStringMap,
-                             required: StructType) extends Scan with Batch {
+                             required: StructType,
+                             pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc files=${WarcTable.listFiles(options).size} schema=${required.fieldNames.mkString(",")}"
+    s"warc files=${WarcTable.listFiles(options).size} " +
+      s"schema=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     WarcTable.listFiles(options).map(WarcInputPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required.fieldNames)
+    WarcReaderFactory(required.fieldNames, pushed)
 }
 
 private[data] case class WarcInputPartition(path: String) extends InputPartition
 
-private[data] case class WarcReaderFactory(fields: Array[String])
+private[data] case class WarcReaderFactory(fields: Array[String],
+                                           pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path, fields)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].path,
+      fields, pushed)
 }
 
 /** Streams one WARC file; builds only the pruned columns. Uses the default
@@ -126,14 +205,18 @@ private[data] case class WarcReaderFactory(fields: Array[String])
   * local/HDFS cases a crawl reader meets; an object-store with custom conf
   * belongs behind a mounted config, not per-query options.
   */
-private[data] class WarcPartitionReader(path: String, fields: Array[String])
+private[data] class WarcPartitionReader(path: String, fields: Array[String],
+                                        pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val needContent = fields.contains("content")
   private val hPath = new Path(path)
   private val in = new BufferedInputStream(
     hPath.getFileSystem(new Configuration()).open(hPath), 1 << 16)
+  private val keep: Warc.WarcRecord => Boolean =
+    if (pushed.isEmpty) _ => true
+    else r => pushed.forall(WarcFilters.eval(_, r))
   private val it = Warc.records(in, gzipped = path.endsWith(".gz"),
-    skipContent = !needContent)
+    skipContent = !needContent, keep = keep)
   private var row: InternalRow = _
 
   private def utf8(s: String): UTF8String =

@@ -92,6 +92,66 @@ class WarcSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("keep predicate filters on metadata and stream stays aligned past skipped payloads") {
+    val out = new ByteArrayOutputStream()
+    Seq(rec("urn:a", "https://a/1", "x" * 5000), rec("urn:b", "https://b/2", "keep me"),
+      rec("urn:c", "https://a/3", "y" * 3000), rec("urn:d", "https://b/4", "also kept"))
+      .foreach(Warc.writeRecord(out, _))
+    val kept = Warc.records(new ByteArrayInputStream(out.toByteArray), gzipped = false,
+      keep = r => r.targetUri.startsWith("https://b/")).toSeq
+    assert(kept.map(_.recordId) == Seq("urn:b", "urn:d"))
+    // payloads of the kept records are intact even though big neighbors were skipped
+    assert(kept.map(r => new String(r.content, UTF_8)) == Seq("keep me", "also kept"))
+  }
+
+  test("http payload helpers split status/header/body; non-HTTP passes through") {
+    val http = ("HTTP/1.1 301 Moved\r\nLocation: https://ex.com/new\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n<html>hi</html>").getBytes(UTF_8)
+    // body with a non-UTF8 byte: the split must be byte-preserving
+    val bin = "HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n"
+      .getBytes(UTF_8) ++ Array[Byte](0, -1, 127, -128)
+    val raw = "not an http message at all".getBytes(UTF_8)
+    val df = Seq(("a", http), ("b", bin), ("c", raw)).toDF("id", "content")
+    val got = df.select(col("id"),
+        Warc.httpStatus(col("content")).as("st"),
+        Warc.httpHeader(col("content"), "content-type").as("ct"),
+        Warc.httpHeader(col("content"), "Location").as("loc"),
+        Warc.httpBody(col("content")).as("body"))
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) == 301)
+    assert(got(0).getString(2) == "text/html; charset=utf-8")
+    assert(got(0).getString(3) == "https://ex.com/new")
+    assert(new String(got(0).getAs[Array[Byte]]("body"), UTF_8) == "<html>hi</html>")
+    assert(got(1).getInt(1) == 200)
+    assert(got(1).getAs[Array[Byte]]("body").toSeq == Seq[Byte](0, -1, 127, -128))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    assert(got(2).getAs[Array[Byte]]("body").toSeq == raw.toSeq) // pass-through
+  }
+
+  test("metadata filters push into the scan and results stay exact") {
+    val dir = Files.createTempDirectory("graft_warc_pushdown").toString
+    Warc.save(spark.range(200).select(
+      concat(lit("https://site-"), col("id") % 4, lit(".ex/p/"), col("id")).as("url"),
+      encode(concat(lit("body-"), col("id"), lit("-"),
+        // ids divisible by 10 get a much larger payload
+        when(col("id") % 10 === 1, lpad(lit("z"), 500, "z")).otherwise(lit(""))), "UTF-8")
+        .as("content")), dir)
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("url").startsWith("https://site-1.") && col("content_length") < 100)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("PushedFilters: [") && scanLine.contains("StringStartsWith"),
+      scanLine)
+    assert(scanLine.contains("LessThan(content_length"), scanLine)
+    // exactness: same rows as post-filtering an unfiltered read
+    val expect = spark.read.format("warc").load(dir).collect()
+      .filter(r => r.getAs[String]("url").startsWith("https://site-1.")
+        && r.getAs[Long]("content_length") < 100)
+      .map(_.getAs[String]("url")).sorted.toSeq
+    assert(df.select("url").collect().map(_.getString(0)).sorted.toSeq == expect)
+    assert(expect.size == 40) // 50 site-1 urls minus the 10 big ones (id ≡ 1 mod 20)
+  }
+
   test("column pruning reaches the BatchScan (content never buffered)") {
     val dir = Files.createTempDirectory("graft_warc_prune").toString
     Warc.save(spark.range(10).select(
