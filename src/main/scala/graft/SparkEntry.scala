@@ -1108,6 +1108,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- HTTP envelope splitters over synthetic response payloads: build
+    // the exact HTTP message a crawl's WARC response record carries, then
+    // recover status / header / body with the codegen'd built-in chains;
+    // the oracle recomputes the status rule and asserts exact recovery ---
+    "q60_warc_http" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val payload = concat(
+        lit("HTTP/1.1 "),
+        when(col("doc_id") % 7 === 0, lit("404 Not Found")).otherwise(lit("200 OK")),
+        lit("\r\nContent-Type: text/plain; charset=utf-8\r\nX-Lang: "), col("lang"),
+        lit("\r\n\r\n"), col("text"))
+      docs.select(col("doc_id"), col("lang"), col("text"),
+          encode(payload, "UTF-8").as("content"))
+        .select(
+          graft.data.Warc.httpStatus(col("content")).as("status"),
+          (graft.data.Warc.httpHeader(col("content"), "x-lang") === col("lang")).as("hdr_ok"),
+          (decode(graft.data.Warc.httpBody(col("content")), "UTF-8") === col("text")).as("body_ok"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(when(col("hdr_ok"), 0).otherwise(1)) === 0).as("hdr_exact"),
+          (sum(when(col("body_ok"), 0).otherwise(1)) === 0).as("body_exact"))
+        .orderBy(col("status"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1623,6 +1647,11 @@ object SparkEntry {
         | true AS pruned
         |FROM documents WHERE doc_id IN (3, 44, 250, 499)
         |ORDER BY doc_id""".stripMargin,
+
+    "q60_warc_http" ->
+      """SELECT CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+        | CAST(count(*) AS BIGINT) AS cnt, true AS hdr_exact, true AS body_exact
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,
