@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +46,8 @@ private[data] class WarcTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"warc(${WarcTable.paths(options).mkString(",")})"
   override def schema(): StructType = Warc.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
     merged.putAll(o)
@@ -188,6 +190,50 @@ private[data] class WarcScan(options: CaseInsensitiveStringMap,
     WarcTable.listFiles(options).map(WarcInputPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames, pushed)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(options, required.fieldNames, pushed)
+}
+
+/** Offset for the WARC stream: the snapshot of files seen so far. A batch
+  * is `end.files -- start.files` — each file processed exactly once, in
+  * whole-file units (the same non-splittable contract as the batch scan).
+  * The snapshot lives in the streaming checkpoint; at O(10^4)+ files per
+  * stream, rotate the input directory (crawls ship day-partitioned dirs)
+  * the same way Spark's own FileStreamSource expects log compaction.
+  */
+private[data] case class WarcOffset(files: Seq[String]) extends Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(files.toArray)
+  }
+}
+
+/** `spark.readStream.format("warc").load(dir)` — continuous crawl ingest:
+  * each micro-batch picks up the `.warc(.gz)` files that appeared since
+  * the last one (one task per new file; pruning and metadata-filter
+  * pushdown apply exactly as in the batch scan). Exactly-once per file via
+  * the checkpointed offset snapshot; files must be immutable once visible
+  * (write-then-rename, the standard crawl-dump contract).
+  */
+private[data] class WarcMicroBatchStream(options: CaseInsensitiveStringMap,
+                                         fields: Array[String],
+                                         pushed: Array[Filter])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = WarcOffset(Seq.empty)
+  override def latestOffset(): Offset = WarcOffset(WarcTable.listFiles(options))
+  override def deserializeOffset(json: String): Offset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    WarcOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcOffset].files.toSet
+    end.asInstanceOf[WarcOffset].files.filterNot(seen).sorted
+      .map(WarcInputPartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(fields, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[data] case class WarcInputPartition(path: String) extends InputPartition

@@ -152,6 +152,45 @@ class WarcSpec extends AnyFunSuite {
     assert(expect.size == 40) // 50 site-1 urls minus the 10 big ones (id ≡ 1 mod 20)
   }
 
+  test("readStream ingests new warc files exactly once, across a restart") {
+    val watch = Files.createTempDirectory("graft_warc_stream").toString
+    val ckpt = Files.createTempDirectory("graft_warc_ckpt").toString
+
+    def addFiles(tag: String, lo: Int, hi: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_warc_b$tag").toString
+      Warc.save(spark.range(lo, hi).select(
+        concat(lit("https://ex.com/"), col("id")).as("url"),
+        encode(concat(lit("b"), col("id")), "UTF-8").as("content"))
+        .repartition(2), tmp)
+      Files.list(Paths.get(tmp)).toArray.map(_.toString).filter(_.endsWith(".warc.gz"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.copy(Paths.get(f), Paths.get(watch, s"$tag-$i.warc.gz"))
+        }
+    }
+
+    val outDir = Files.createTempDirectory("graft_warc_sink").toString
+    addFiles("a", 0, 30)
+    def start() = spark.readStream.format("warc").load(watch)
+      .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("id"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    def ids(): Seq[Long] = spark.read.parquet(outDir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(ids() == (0L until 30L))
+    addFiles("b", 30, 50)
+    q1.processAllAvailable()
+    assert(ids() == (0L until 50L)) // every id exactly once
+    q1.stop()
+    // restart from the checkpoint: a/b must NOT replay, c must land
+    addFiles("c", 50, 60)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ids() == (0L until 60L), s"restart broke exactly-once: ${ids().size} rows")
+  }
+
   test("column pruning reaches the BatchScan (content never buffered)") {
     val dir = Files.createTempDirectory("graft_warc_prune").toString
     Warc.save(spark.range(10).select(
