@@ -92,6 +92,35 @@ class WarcSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("reused-deflater gzip members: readable, concatenable, deterministic") {
+    // payload shapes a crawl hits: empty, tiny, binary-with-all-bytes, large
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "x".getBytes(UTF_8),
+      Array.tabulate(4096)(i => (i * 31 + 7).toByte),
+      Array.tabulate(1 << 20)(i => (i % 251).toByte))
+    def save(dir: java.nio.file.Path): Unit = {
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (s"https://m/$i", p) }.toDF("url", "content")
+      Warc.save(df.coalesce(1), dir.toString)
+    }
+    val d1 = Files.createTempDirectory("graft_gzm1"); save(d1)
+    val f1 = Files.list(d1).toArray.map(_.toString).filter(_.endsWith(".warc.gz")).head
+    // GZIPInputStream must read the concatenated members natively
+    val back = Warc.records(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f1)), gzipped = true).toSeq
+    assert(back.map(_.contentLength) == payloads.map(_.length.toLong))
+    payloads.indices.foreach { i =>
+      val r = back.find(_.targetUri == s"https://m/$i").get
+      assert(java.util.Arrays.equals(r.content, payloads(i)), s"payload $i corrupted")
+    }
+    // byte-determinism: a replayed save produces the identical file
+    val d2 = Files.createTempDirectory("graft_gzm2"); save(d2)
+    val f2 = Files.list(d2).toArray.map(_.toString).filter(_.endsWith(".warc.gz")).head
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(f1)), Files.readAllBytes(Paths.get(f2))))
+  }
+
   test("keep predicate filters on metadata and stream stays aligned past skipped payloads") {
     val out = new ByteArrayOutputStream()
     Seq(rec("urn:a", "https://a/1", "x" * 5000), rec("urn:b", "https://b/2", "keep me"),
