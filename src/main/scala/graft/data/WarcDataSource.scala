@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -214,13 +214,31 @@ private[data] case class WarcOffset(files: Seq[String]) extends Offset {
   * pushdown apply exactly as in the batch scan). Exactly-once per file via
   * the checkpointed offset snapshot; files must be immutable once visible
   * (write-then-rename, the standard crawl-dump contract).
+  *
+  * `option("maxFilesPerTrigger", n)` bounds a micro-batch to n files —
+  * without it, restarting against a backlog (a day of crawl dumps) turns
+  * the whole backlog into ONE batch whose failure loses all its work;
+  * with it, progress commits every n files.
   */
 private[data] class WarcMicroBatchStream(options: CaseInsensitiveStringMap,
                                          fields: Array[String],
                                          pushed: Array[Filter])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = WarcOffset(Seq.empty)
   override def latestOffset(): Offset = WarcOffset(WarcTable.listFiles(options))
+  override def getDefaultReadLimit: ReadLimit = {
+    val v = options.get("maxFilesPerTrigger")
+    if (v == null) ReadLimit.allAvailable() else ReadLimit.maxFiles(v.toInt)
+  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[WarcOffset].files.toSet
+    val fresh = WarcTable.listFiles(options).filterNot(seen).sorted
+    val capped = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    WarcOffset((seen.toSeq ++ capped).sorted)
+  }
   override def deserializeOffset(json: String): Offset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     WarcOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)

@@ -220,6 +220,35 @@ class WarcSpec extends AnyFunSuite {
     assert(ids() == (0L until 60L), s"restart broke exactly-once: ${ids().size} rows")
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch; backlog drains in steps") {
+    val watch = Files.createTempDirectory("graft_warc_mft").toString
+    val ckpt = Files.createTempDirectory("graft_warc_mft_ck").toString
+    val outDir = Files.createTempDirectory("graft_warc_mft_out").toString
+    // a 6-file backlog BEFORE the stream starts
+    (0 until 6).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_mft_$i").toString
+      Warc.save(spark.range(i * 10, i * 10 + 10).select(
+        concat(lit("https://ex.com/"), col("id")).as("url"),
+        encode(col("id").cast("string"), "UTF-8").as("content")).coalesce(1), tmp)
+      val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".warc.gz")).head
+      Files.copy(Paths.get(f), Paths.get(watch, f"backlog-$i%02d.warc.gz"))
+    }
+    val q = spark.readStream.format("warc")
+      .option("maxFilesPerTrigger", "2").load(watch)
+      .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("id"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    assert(spark.read.parquet(outDir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 60L))
+    assert(batches.length == 3, s"expected 3 capped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 20L),
+      batches.map(_.numInputRows).mkString(","))
+  }
+
   test("column pruning reaches the BatchScan (content never buffered)") {
     val dir = Files.createTempDirectory("graft_warc_prune").toString
     Warc.save(spark.range(10).select(
