@@ -1132,6 +1132,26 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
 
+    // --- sidecar zone-map range scan + incremental refresh: zero-padded
+    // keys (string collation == numeric order), a no-op refresh on an
+    // unchanged table must index nothing, and the range read must equal
+    // the straight BETWEEN filter the oracle runs ---
+    "q61_sidecar_range" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_q61").toString
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("key", format_string("d%07d", col("doc_id")))
+        .repartitionByRange(8, col("key"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.data.SketchIndex.build(s, tmp, "key")
+      val (fresh, total) = graft.data.SketchIndex.refresh(s, tmp, "key")
+      graft.data.SketchIndex.readRange(s, tmp, "key", "d0000100", "d0000199")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .withColumn("refresh_noop", lit(fresh == 0L && total == 8L))
+        .orderBy(col("lang"))
+    }),
+
     "q49_vec_quantize" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.select(col("vec_id"), col("embedding"),
@@ -1652,6 +1672,12 @@ object SparkEntry {
       """SELECT CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
         | CAST(count(*) AS BIGINT) AS cnt, true AS hdr_exact, true AS body_exact
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_sidecar_range" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(length(text)) AS BIGINT) AS chars, true AS refresh_noop
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q49_vec_quantize" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS len_all_ok,
