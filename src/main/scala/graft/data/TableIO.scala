@@ -52,4 +52,16 @@ object TableIO {
     */
   def readLang(spark: SparkSession, dir: String, lang: String): DataFrame =
     read(spark, dir).filter(col("lang") === lang)
+
+  /** Point lookup by url through the STABLE bucket: recomputes
+    * `url_bucket` from the lookup value, so partition pruning reads one
+    * bucket directory per language (1/buckets of the table) and the exact
+    * url filter rides the parquet scan — no sidecar index needed; this is
+    * what the bucketed layout buys. `buckets` must match the write.
+    */
+  def readUrl(spark: SparkSession, dir: String, url: String,
+              buckets: Int = DefaultBuckets): DataFrame =
+    read(spark, dir).filter(
+      col("url_bucket") === pmod(xxhash64(lit(url)), lit(buckets)) &&
+        col("url") === url)
 }

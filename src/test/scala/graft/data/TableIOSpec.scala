@@ -39,4 +39,21 @@ class TableIOSpec extends AnyFunSuite {
       .filter(col("recomputed") =!= col("url_bucket")).count()
     assert(mismatch == 0)
   }
+
+  test("readUrl point lookup prunes to one bucket partition per language") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tableio-url").toString
+    val pages = WebPages.dataset(spark, 1000, 4)
+    TableIO.write(pages, dir, buckets = 4)
+    val target = WebPages.url(WebPages.DefaultSeed, 123L)
+    val hit = TableIO.readUrl(spark, dir, target, buckets = 4)
+    // the bucket predicate must reach PartitionFilters (dir-level pruning)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("url_bucket"),
+      plan.take(600))
+    val rows = hit.collect()
+    assert(rows.map(_.getAs[String]("url")).toSeq == Seq(target))
+    assert(rows.head.getAs[String]("text") == WebPages.text(WebPages.DefaultSeed, 123L))
+    // absent url: pruned scan, zero rows
+    assert(TableIO.readUrl(spark, dir, "https://nowhere.example/x", buckets = 4).count() == 0)
+  }
 }
