@@ -14,7 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import java.util.OptionalLong
+
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{And => SAnd, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.StructType
@@ -179,9 +181,31 @@ private[data] class WarcScanBuilder(options: CaseInsensitiveStringMap)
 
 private[data] class WarcScan(options: CaseInsensitiveStringMap,
                              required: StructType,
-                             pushed: Array[Filter]) extends Scan with Batch {
+                             pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size estimate from the file listing, so Catalyst can make broadcast
+    * decisions for WARC-sourced relations (without this a V2 scan defaults
+    * to "unknown = huge" and a 10 MB crawl extract never broadcasts).
+    * Gzip files are scaled by a conservative 4× decompression factor;
+    * pruning `content` shrinks the estimate to the header fraction.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val bytes = WarcTable.listFiles(options).map { p =>
+      val path = new Path(p)
+      val len = path.getFileSystem(conf).getFileStatus(path).getLen
+      if (p.endsWith(".gz")) len * 4 else len
+    }.sum
+    val fraction = if (required.fieldNames.contains("content")) 1.0 else 0.1
+    val est = math.max(1L, (bytes * fraction).toLong)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(est)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"warc files=${WarcTable.listFiles(options).size} " +
       s"schema=${required.fieldNames.mkString(",")} " +

@@ -249,6 +249,21 @@ class WarcSpec extends AnyFunSuite {
       batches.map(_.numInputRows).mkString(","))
   }
 
+  test("scan reports statistics: a small warc dim broadcasts in a join") {
+    val dir = Files.createTempDirectory("graft_warc_stats").toString
+    Warc.save(spark.range(50).select(
+      concat(lit("https://d/"), col("id")).as("url"),
+      encode(col("id").cast("string"), "UTF-8").as("content")), dir)
+    val dim = spark.read.format("warc").load(dir)
+      .select(regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("k"),
+        col("content_length"))
+    val fact = spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(joined.count() == 50)
+  }
+
   test("column pruning reaches the BatchScan (content never buffered)") {
     val dir = Files.createTempDirectory("graft_warc_prune").toString
     Warc.save(spark.range(10).select(
