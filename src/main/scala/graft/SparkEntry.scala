@@ -115,13 +115,17 @@ object SparkEntry {
     "q05_hll_accuracy" -> ((s, dir) => {
       // NB: never mix a TypedImperativeAggregate with a distinct aggregate
       // in one agg — Spark's distinct rewrite would build one sketch
-      // buffer per (group, distinct-key) pair. Two aggregations + join.
+      // buffer per (group, distinct-key) pair. ONE scan instead of the
+      // former two-scan+join shape (guide §2.4): dedup (flag, orderkey)
+      // first, then build the sketch over the distinct keys — HLL inserts
+      // are idempotent (register max), so the sketch over distinct keys is
+      // bit-identical to the sketch over all rows, and count(*) of the
+      // distinct pairs IS the exact distinct count.
       val li = T(s, dir, "lineitem")
-      val sk = li.groupBy(col("l_returnflag"))
-        .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"))
-      val ex = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
-      sk.join(ex, "l_returnflag")
+      val dk = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      dk.groupBy(col("l_returnflag"))
+        .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"),
+          count(lit(1)).as("exact_distinct"))
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(hll_estimate(col("sk")) - col("exact_distinct")).cast("double")
             <= lit(0.03) * col("exact_distinct").cast("double")).as("ok"))
@@ -278,19 +282,20 @@ object SparkEntry {
       val d = base.unionAll(boiler)
       val edges = Dedup.nearDupPairsScaled(d, "doc_id", "text", 64, 16, 3, 0.9,
         maxBandFreq = 20L)
-      val exactEdges = edges.filter(col("kind") === "exact").cache()
-      val exactCnt = exactEdges.count()
-      val boilerCnt = exactEdges.filter(col("id_a") >= 5000000L).count()
-      exactEdges.unpersist()
+      // one aggregation job per pair table instead of cache + two counts
+      // (guide §1.2 step 1: fewer passes — conditional counts are exact)
+      val exactStats = edges.filter(col("kind") === "exact")
+        .agg(count(lit(1)).as("c"), count(when(col("id_a") >= 5000000L, 1)).as("b")).head
+      val (exactCnt, boilerCnt) = (exactStats.getAs[Long]("c"), exactStats.getAs[Long]("b"))
       // uncapped banding over JUST the boilerplate class shows the F^2/2
       // blowup (300 copies -> 44850 candidate pairs) without paying a
       // full-corpus uncapped pass; the capped full run must contain zero
       // boiler-boiler pairs (all their band buckets are over the cap)
       val uncappedBoiler = Dedup.minHashPairs(boiler, "doc_id", "text", 64, 16, 3, 0.9).count()
-      val capped = Dedup.minHashPairs(d, "doc_id", "text", 64, 16, 3, 0.9, 20L).cache()
-      val cappedCnt = capped.count()
-      val cappedBoiler = capped.filter(col("id_a") >= 5000000L && col("id_b") >= 5000000L).count()
-      capped.unpersist()
+      val cappedStats = Dedup.minHashPairs(d, "doc_id", "text", 64, 16, 3, 0.9, 20L)
+        .agg(count(lit(1)).as("c"),
+          count(when(col("id_a") >= 5000000L && col("id_b") >= 5000000L, 1)).as("b")).head
+      val (cappedCnt, cappedBoiler) = (cappedStats.getAs[Long]("c"), cappedStats.getAs[Long]("b"))
       val docs = d.count()
       Seq((exactCnt, boilerCnt, uncappedBoiler >= 40000L && cappedBoiler == 0L, cappedCnt <= docs))
         .toDF("exact_edges", "boiler_edges", "cap_engaged", "near_linear")
@@ -305,14 +310,18 @@ object SparkEntry {
 
     // --- brute-force ANN baseline: integer-quantized dot, exact top-3 ---
     "q14_embed_knn" -> ((s, dir) => {
+      // quantize each vector ONCE per row before the cross join instead of
+      // per (query, neighbor) pair inside it (guide §1.2 step 2): the
+      // floor(x*1000) longs are identical either way, so products and the
+      // in-order sum — hence qdot and the ranking — are bit-identical
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), Similarity.quantizeForDot(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), Similarity.quantizeForDot(col("embedding")).as("cv"))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          Similarity.quantizedDot(col("qv"), col("cv")).as("qdot"))
+          Similarity.quantizedDotPre(col("qv"), col("cv")).as("qdot"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
@@ -727,12 +736,16 @@ object SparkEntry {
       val agg = ev.agg(mg_sketch(col("key"), 16).as("m"), count(lit(1)).as("n")).head
       val (blob, n) = (agg.getAs[Array[Byte]]("m"), agg.getAs[Long]("n"))
       val thr = n / 17 // guaranteed-presence threshold n/(k+1)
-      val exactTop5 = ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      // grouped counts feed BOTH the exact top-5 and the output rows —
+      // materialize them once instead of re-scanning events per consumer
+      val grouped = ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactTop5 = grouped
         .orderBy(col("cnt").desc, col("key").asc).limit(5)
         .collect().map(_.getString(0)).toSet
       val topOk = graft.core.MgSketch.deserialize(blob).topK(5).toSet == exactTop5
       val est = mg_estimate(lit(blob), col("key"))
-      ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      grouped
         .filter(col("cnt") > lit(thr))
         .select(col("key"), col("cnt"),
           (est <= col("cnt") && est >= col("cnt") - mg_error_bound(lit(blob)) &&
@@ -752,8 +765,9 @@ object SparkEntry {
       val li = T(s, dir, "lineitem").select(col("l_extendedprice").cast("double").as("v"))
       val p = 8
       val kllK = 400
-      val bounds = graft.ops.RangePartition.boundaries(li, "v", p, kllK)
-      val n = li.count()
+      // sketch + row count in ONE scan (guide §1.2 step 1; the former
+      // boundaries() + count() shape scanned lineitem twice)
+      val (bounds, n) = graft.ops.RangePartition.boundariesAndCount(li, "v", p, kllK)
       val tol = 2.0 * (1.75 / kllK)
       li.select(graft.ops.RangePartition.bucketColumn(col("v"), bounds).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))

@@ -453,6 +453,57 @@ object BloomSketch {
     new BloomSketch(n, p, k, m, arr, added, hasher)
   }
 
+  /** Probe a SERIALIZED blob in place — identical verdict to
+    * `deserialize(bytes).contains(key)` with no bit-array copy and no
+    * allocation (footer parse + k bit probes directly on the blob bytes).
+    *
+    * Why it exists (optimization guide §2.3/§4): the distributed
+    * sharded-Bloom probe ([[graft.pipeline.ShardedBloom.semiJoin]]) joins
+    * each probe row to its shard's blob COLUMN, so every row hands the
+    * expression a fresh byte-array copy — identity-keyed deserialization
+    * caching can never hit, and a full `deserialize` per row copies the
+    * entire bit array (KBs-MBs) and churns the heap. The direct probe
+    * reads only the 20-byte footer plus k probed bytes per row.
+    */
+  def containsSerialized(bytes: Array[Byte], key: Array[Byte]): Boolean = {
+    require(bytes.length > 20, s"serialized bloom too short: ${bytes.length}")
+    var end = bytes.length
+    var hasher: BloomHasher = FnvBloomHasher
+    if (bytes.length > 28 &&
+        bytes(bytes.length - 4) == HasherTagMagic(0) && bytes(bytes.length - 3) == HasherTagMagic(1) &&
+        bytes(bytes.length - 2) == HasherTagMagic(2) && bytes(bytes.length - 1) == HasherTagMagic(3)) {
+      val idLen = ByteBuffer.wrap(bytes, bytes.length - 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(idLen > 0 && bytes.length - 8 - idLen > 20, s"corrupt bloom hasher tag: idLen=$idLen")
+      val id = new String(bytes, bytes.length - 8 - idLen, idLen, StandardCharsets.UTF_8)
+      hasher = BloomHasher.lookup(id)
+      end = bytes.length - 8 - idLen
+    }
+    val buf = ByteBuffer.wrap(bytes, end - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getLong
+    buf.getLong // elementsAdded — not needed for a probe
+    val p = buf.getFloat
+    val (m, k, len) = geometry(n, p)
+    require(len == end - 20, s"corrupt bloom blob: expected array of $len bytes, got ${end - 20}")
+    if (hasher eq FnvBloomHasher) {
+      var i = 0
+      while (i < k) {
+        val bitIdx = java.lang.Long.remainderUnsigned(Fnv.fnv1a(key, i), m)
+        if ((bytes((bitIdx >>> 3).toInt) & (1 << (bitIdx & 7L).toInt)) == 0) return false
+        i += 1
+      }
+      true
+    } else {
+      val hs = hasher.hashes(key, k)
+      var i = 0
+      while (i < k) {
+        val bitIdx = java.lang.Long.remainderUnsigned(hs(i), m)
+        if ((bytes((bitIdx >>> 3).toInt) & (1 << (bitIdx & 7L).toInt)) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   /** Inverse of [[BloomSketch.toHexString]] (`bloom.c:272-303`). Like the
     * reference, only odd length is rejected.
     */

@@ -325,13 +325,25 @@ object Warc {
           lit("1970-01-01T00:00:00Z")).as("warc_date")
       else lit("1970-01-01T00:00:00Z").as("warc_date"))
     val ext = if (gzip) ".warc.gz" else ".warc"
+    // session Hadoop conf (spark.hadoop.* / object-store credentials)
+    // rides the closure — a bare `new Configuration()` on the executor
+    // would silently drop it (ADVICE r5)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     val written = norm.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val pid = TaskContext.getPartitionId()
-        val path = new Path(dir, f"part-$pid%05d$ext")
-        val fs = path.getFileSystem(new Configuration())
-        val raw = new BufferedOutputStream(fs.create(path, true), 1 << 16)
+        // task-commit protocol (ADVICE r5): write to an attempt-scoped
+        // temp path and rename into place only when the attempt's file is
+        // COMPLETE, so a speculative or zombie attempt can never leave an
+        // interleaved/truncated final file. Records are deterministic, so
+        // whichever attempt wins the rename produces identical bytes.
+        val attempt = TaskContext.get().taskAttemptId()
+        val finalPath = new Path(dir, f"part-$pid%05d$ext")
+        val tmpPath = new Path(dir, f"_tmp-part-$pid%05d-$attempt$ext")
+        val fs = finalPath.getFileSystem(hconf.value)
+        val raw = new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
         // one gzip member per record (standard random-access layout);
         // deflater + record buffer reused across the whole partition
         val gzw = if (gzip) new MemberGzipWriter(raw) else null
@@ -354,9 +366,22 @@ object Warc {
             } else writeRecord(raw, rec)
             n += 1
           }
-        } finally {
-          if (gzw != null) gzw.end()
-          raw.close()
+        } catch {
+          case e: Throwable =>
+            try { if (gzw != null) gzw.end(); raw.close() } catch { case _: Exception => }
+            try fs.delete(tmpPath, false) catch { case _: Exception => }
+            throw e
+        }
+        if (gzw != null) gzw.end()
+        raw.close()
+        // commit: overwrite-then-rename (rename is atomic per attempt; a
+        // replayed write produces byte-identical members, so losing the
+        // race to another complete attempt is harmless)
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath)) {
+          fs.delete(tmpPath, false)
+          if (!fs.exists(finalPath))
+            throw new java.io.IOException(s"failed to commit $tmpPath -> $finalPath")
         }
         Iterator.single(1)
       }

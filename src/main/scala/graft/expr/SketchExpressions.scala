@@ -111,8 +111,27 @@ case class BloomMightContain(left: Expression, right: Expression,
     }
     satVerdict
   }
-  private def guarded(blob: Array[Byte], key: Array[Byte]): Boolean =
-    (saturationThreshold < 1.0 && saturated(blob)) || sketchOf(blob).contains(key)
+  // Constant-blob fast path: the first blob identity seen by this task is
+  // deserialized once and probed in decoded form (the literal/broadcast
+  // semi-join pre-filter — one blob, millions of rows). Any OTHER blob
+  // identity means the blob is a per-row COLUMN value (e.g. the sharded
+  // semi-join joins each row to its shard's blob, handing the expression
+  // a fresh byte-array copy every row): identity caching can never hit
+  // there, and deserializing per row copies the whole bit array and
+  // churns the heap — probe the serialized bytes in place instead
+  // (guide §2.3: same verdict, footer + k probed bytes per row).
+  @transient private var firstRef: Array[Byte] = _
+  @transient private var firstSketch: BloomSketch = _
+  private def guarded(blob: Array[Byte], key: Array[Byte]): Boolean = {
+    if (saturationThreshold < 1.0 && saturated(blob)) return true
+    if (firstRef eq blob) return firstSketch.contains(key)
+    if (firstRef == null) {
+      firstSketch = BloomSketch.deserialize(blob)
+      firstRef = blob
+      return firstSketch.contains(key)
+    }
+    BloomSketch.containsSerialized(blob, key)
+  }
   def probe(blob: Array[Byte], key: UTF8String): Boolean = guarded(blob, key.getBytes)
   def probe(blob: Array[Byte], key: Array[Byte]): Boolean = guarded(blob, key)
   override def nullSafeEval(blob: Any, key: Any): Any =

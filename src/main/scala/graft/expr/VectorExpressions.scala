@@ -100,3 +100,114 @@ case class VecDequantizeInt8(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): VecDequantizeInt8 = copy(c)
 }
+
+/** `hyperplane_bucket(vec, planes, seed)` — the random-hyperplane LSH
+  * bucket (Charikar 2002) as ONE fused expression.
+  *
+  * Replaces the former `functions._` composition (per plane: `aggregate(
+  * zip_with(v, sequence(0, size(v)-1), (x,i) => x * sign(xxhash64(seed,
+  * plane, i))))`), which evaluated a chained xxhash64 PER ELEMENT PER
+  * PLANE PER ROW and allocated a sequence + zipped array per plane — the
+  * map-side hot loop of every LSH ANN/near-dup operator (guide §1.2 step
+  * 2: per-task work). The signs depend only on `(seed, plane, dimIdx)`,
+  * so they are precomputed ONCE per task (grown lazily to the observed
+  * dimensionality, via the SAME Catalyst `xxhash64` evaluation) and the
+  * bucket is a single pass over the vector with zero per-row allocation.
+  *
+  * Bit-exactness with the old composition (asserted in OpsSpec):
+  *  - per plane, `dot = ((0.0 + v0·s0) + v1·s1) + …` in index order —
+  *    identical IEEE-754 sequence;
+  *  - bit set iff `dot >= 0` under SPARK's ordering (NaN sorts above
+  *    every double ⇒ a NaN dot sets the bit; any-null-element ⇒ bit
+  *    clear, as with the old null-propagating aggregate);
+  *  - empty and NULL vectors map to bucket 0 (the old `sequence(0,-1)` /
+  *    null-propagation corner semantics).
+  */
+case class HyperplaneBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with GraftTypeCheck {
+  require(planes > 0 && planes <= 62, s"planes in (0,62], got $planes")
+  override def prettyName: String = "hyperplane_bucket"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override protected def expectedTypes = Seq(
+    GraftTypeCheck.floatArray ++ Seq(
+      ArrayType(DoubleType, containsNull = true), ArrayType(DoubleType, containsNull = false)))
+  // NULL vector → bucket 0 (the old composition's `when(null >= 0)`
+  // collapse), so the expression is not null-propagating
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else probe(v.asInstanceOf[ArrayData])
+  }
+
+  @transient private var isFloat: Boolean = _
+  @transient private var typeResolved: Boolean = false
+  // signs(p)(i) = ±1.0 from pmod(xxhash64(seed, p, i), 2), exactly the
+  // Catalyst evaluation the old composition ran per row — computed once
+  // per task and grown geometrically to the observed dimensionality
+  @transient private var signs: Array[Array[Double]] = _
+  @transient private var signDims: Int = 0
+
+  private def ensureSigns(dim: Int): Unit = if (dim > signDims) {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val newDim = math.max(dim, math.max(64, signDims * 2))
+    val next = Array.ofDim[Double](planes, newDim)
+    var p = 0
+    while (p < planes) {
+      var i = 0
+      while (i < newDim) {
+        val h = new XxHash64(Seq(Literal(seed), Literal(p), Literal(i)))
+          .eval(null).asInstanceOf[Long]
+        val pm = ((h % 2) + 2) % 2
+        next(p)(i) = if (pm == 0) 1.0 else -1.0
+        i += 1
+      }
+      p += 1
+    }
+    signs = next
+    signDims = newDim
+  }
+
+  def probe(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    if (!typeResolved) {
+      isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      typeResolved = true
+    }
+    ensureSigns(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val s = signs(p)
+      var dot = 0.0
+      var anyNull = false
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) { anyNull = true; i = n }
+        else {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          dot += x * s(i)
+          i += 1
+        }
+      }
+      // Spark SQL orders NaN above every double, so the old composition's
+      // `dot >= 0` was TRUE for a NaN dot — mirror that, not Java's NaN
+      if (!anyNull && (dot >= 0 || java.lang.Double.isNaN(dot))) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("hpb", this, classOf[HyperplaneBucket].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L : $self.probe(${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(child = c)
+}

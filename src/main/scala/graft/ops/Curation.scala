@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *     budget runs out,
   *  4. buckets above it are accepted by a map-only filter; only the
   *     boundary bucket — ~`1/numBuckets` of the corpus, equi-depth by
-  *     construction — pays the exact windowed prefix sum.
+  *     construction — pays an exact prefix sum, computed DISTRIBUTED via
+  *     a two-phase scheme (range-partition by the global order →
+  *     per-partition subtotals to the driver → broadcast offsets →
+  *     per-partition running sums): no single task ever sees more than
+  *     `sliver/P` rows.
   *
   * Equivalence to the global sort is exact, not approximate: every row in
   * a higher bucket has score strictly greater than every row in a lower
@@ -89,14 +93,45 @@ object Curation {
     val out =
       if (boundaryBucket < 0) accepted
       else {
-        // exact prefix sum over the single equi-depth sliver only
-        val w = Window.orderBy(score.desc, col(idCol).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Exact prefix sum over the single equi-depth sliver only —
+        // DISTRIBUTED (guide §2.5): the former `Window.orderBy` with no
+        // partitionBy funneled the whole sliver (~1/numBuckets of the
+        // corpus, ~1 TB at the 100-TB design point) through ONE task.
+        // Two-phase instead: range-partition the sliver by the global
+        // order, per-partition token subtotals to the driver (≤ P rows),
+        // broadcast the cumulative offsets back as a map literal, and a
+        // per-partition running sum completes the exact global prefix
+        // sum. Every partition works in parallel; ties across a
+        // partition split stay exact because the range partitioner
+        // splits on the same (score DESC, id ASC) total order the
+        // running sum uses.
+        val P = math.max(1, spark.sessionState.conf.numShufflePartitions)
+        // persisted so the subtotal pass and the running-sum pass share
+        // one computation of the sliver (bounded: the sliver is one
+        // equi-depth bucket; MEMORY_AND_DISK spills rather than evicts).
+        // Recompute-safe: repartitionByRange samples deterministically,
+        // so spark_partition_id is stable for a given input.
         val sliver = bucketed.filter(col("__graft_cb") === boundaryBucket)
-          .withColumn("__graft_cum", sum(toks).over(w))
+          .repartitionByRange(P, score.desc, col(idCol).asc)
+          .withColumn("__graft_pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val subTotals = sliver.groupBy(col("__graft_pid")).agg(sum(toks).as("__t"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var running = 0L
+        val offsets: Map[Int, Long] = subTotals.map { case (pid, t) =>
+          val o = pid -> running; running += t; o
+        }.toMap
+        val offset =
+          if (offsets.isEmpty) lit(0L)
+          else coalesce(element_at(typedLit(offsets), col("__graft_pid")), lit(0L))
+        val w = Window.partitionBy(col("__graft_pid"))
+          .orderBy(score.desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val kept = sliver
+          .withColumn("__graft_cum", sum(toks).over(w) + offset)
           .filter(col("__graft_cum") <= remaining)
-          .drop("__graft_cum")
-        accepted.unionByName(sliver)
+          .drop("__graft_cum", "__graft_pid")
+        accepted.unionByName(kept)
       }
     out.drop("__graft_cb")
   }

@@ -530,8 +530,14 @@ object Dedup {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      maxDocFreq: Long): DataFrame = {
+    // null text is normalized to "" up front so every document yields at
+    // least one paragraph row — the single reassembly groupBy below then
+    // emits EVERY doc id (all-boilerplate docs keep an empty string), so
+    // the operator never silently drops rows and needs no distinct-ids +
+    // outer-join re-attach pass (guide §2.4: two shuffles removed vs the
+    // former anti-join + re-attach shape)
     val paras = df.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__para")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("__idx", "__para")))
     // blank/whitespace-only lines are structure, not boilerplate: nearly
     // every real document contains one, so admitting them to hot-set
     // candidacy would strip paragraph separation corpus-wide the moment
@@ -542,16 +548,18 @@ object Dedup {
       .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= maxDocFreq)
       .select(col("__para"))
-    val rebuilt = paras.join(broadcast(hot), Seq("__para"), "left_anti")
+    // mark-and-drop in the reassembly aggregate instead of an anti-join:
+    // the broadcast left join keeps every paragraph row (so every doc id
+    // reaches the groupBy) and hot rows are filtered INSIDE the
+    // collect_list transform — same rebuilt text, one shuffle on __id
+    paras.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("__para"), "left")
       .groupBy(col("__id"))
       .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
-          s => s.getField("__para"))).as(textCol))
-    // keep docs whose EVERY paragraph was boilerplate (empty text), so
-    // the operator never silently drops rows
-    df.select(col(idCol).as("__id")).distinct()
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol), coalesce(col(textCol), lit("")).as(textCol))
+        transform(
+          filter(array_sort(collect_list(struct(col("__idx"), col("__para"), col("__hot")))),
+            x => x.getField("__hot").isNull),
+          x => x.getField("__para"))).as(textCol))
+      .select(col("__id").as(idCol), col(textCol))
   }
 
   /** Embedding near-duplicate pairs by cosine ≥ threshold, LSH-bucketed:

@@ -44,6 +44,18 @@ object RangePartition {
     boundariesFromBlob(blob, numBuckets)
   }
 
+  /** [[boundaries]] + the input row count from the SAME single scan (the
+    * count rides the sketch aggregation instead of a second pass — most
+    * callers need both to validate occupancy).
+    */
+  def boundariesAndCount(df: DataFrame, valueCol: String, numBuckets: Int,
+                         kllK: Int = 400): (Array[Double], Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val r = df.select(col(valueCol).cast("double").as("__v"))
+      .agg(graft.functions.kll_sketch(col("__v"), kllK), count(lit(1))).head
+    (boundariesFromBlob(r.getAs[Array[Byte]](0), numBuckets), r.getLong(1))
+  }
+
   /** Cut points from an existing KLL blob — zero input scans. Driver-side
     * math only; reuse the checkpointed sketch states at scale.
     */

@@ -64,29 +64,35 @@ object Similarity {
         (x, y) => floor(x.cast("double") * 1000d).cast("long") * floor(y.cast("double") * 1000d).cast("long")),
       lit(0L), (acc, v) => acc + v)
 
+  /** Per-row half of [[quantizedDot]]: `floor(x*1000)` as `array<long>`,
+    * computed ONCE per vector so a cross join scores with
+    * [[quantizedDotPre]] instead of re-quantizing both sides per pair.
+    * `quantizedDotPre(quantizeForDot(a), quantizeForDot(b))` is
+    * bit-identical to `quantizedDot(a, b)` (same longs, same products,
+    * same in-order sum).
+    */
+  def quantizeForDot(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * 1000d).cast("long"))
+
+  /** Dot product of two pre-quantized `array<long>` columns. */
+  def quantizedDotPre(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Random-hyperplane LSH bucket (Charikar 2002): sign bit per plane,
     * planes derived deterministically from (seed, planeIdx, dimIdx) via
-    * splitmix64 — reproducible across runs, no stored model.
+    * the Catalyst xxhash64 — reproducible across runs, no stored model.
+    *
+    * One fused codegen'd expression ([[graft.expr.HyperplaneBucket]]):
+    * the former built-in composition re-evaluated a chained xxhash64 per
+    * element per plane per row; the fused form precomputes the ±1 sign
+    * table once per task and walks the vector once per plane with zero
+    * per-row allocation — bit-identical buckets (OpsSpec asserts the
+    * equivalence against the old composition, including the empty/null/
+    * NaN corners).
     */
-  def hyperplaneBucket(v: Column, planes: Int, seed: Long): Column = {
-    val bits = (0 until planes).map { p =>
-      // pseudo-random ±1 plane: component sign for dim i from splitmix64
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * signOf(p, i, seed)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** ±1.0 pseudo-random sign for (plane, dim) — a Column expression on the
-    * dim index so the whole bucket computation stays inside codegen.
-    */
-  private def signOf(plane: Int, dimIdx: Column, seed: Long): Column = {
-    // splitmix-ish mix expressible with xxhash64 over (seed, plane, dim)
-    when(pmod(xxhash64(lit(seed), lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.expr.HyperplaneBucket(
+      org.apache.spark.sql.GraftSqlBridge.expression(v), planes, seed))
 
   /** Exact brute-force cosine top-k: every query row against every corpus
     * row. Correctness baseline; cost O(Q·N) — keep Q small or use

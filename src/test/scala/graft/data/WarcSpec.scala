@@ -90,6 +90,11 @@ class WarcSpec extends AnyFunSuite {
     val after = Files.list(Paths.get(dir)).toArray.map(_.toString).sorted
       .map(p => java.util.Arrays.hashCode(Files.readAllBytes(Paths.get(p)))).toSeq
     assert(before == after)
+    // task-commit protocol: every attempt writes to an attempt-scoped temp
+    // path and renames on commit — no temp files may survive a save
+    val names = Files.list(Paths.get(dir)).toArray.map(_.toString)
+    assert(!names.exists(_.contains("_tmp-")), s"uncommitted temp files left: ${names.mkString(",")}")
+    assert(names.count(_.endsWith(".warc.gz")) == 3)
   }
 
   test("reused-deflater gzip members: readable, concatenable, deterministic") {

@@ -71,6 +71,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size == 80) // every ranked row fits the budget
   }
 
+  test("no unpartitioned Window at ANY budget (boundary prefix sum is distributed)") {
+    val df = corpus(3000)
+    val rows = df.as[(Long, Double, Long)].collect().toSeq
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(1L, 57L, total / 10, total / 3, total - 1)) {
+      val out = Curation.selectWithinBudget(df, "id", "score", "tokens", budget, 16)
+      out.count() // execute so the final (AQE-resolved) plan exists
+      val unpartitioned = out.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"budget $budget: boundary bucket must never funnel through one task")
+    }
+  }
+
+  test("ties across the partition split stay exact (two-phase prefix sum)") {
+    // ONE score atom over many rows with a tiny shuffle-partition count:
+    // the boundary sliver IS the tie class and must split across several
+    // range partitions; selection must still equal the global greedy
+    // prefix (within-tie order strictly by id)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val df = spark.range(4000).select(col("id"),
+        lit(1.0).as("score"), (col("id") % 13 + 1).cast("long").as("tokens"))
+      val rows = df.as[(Long, Double, Long)].collect().toSeq
+      val total = rows.map(_._3).sum
+      for (budget <- Seq(total / 7, total / 2, total - 5)) {
+        assert(selected(df, budget, buckets = 8) == oracle(rows, budget), s"budget $budget")
+      }
+      // and with distinct scores whose boundary bucket spans partitions
+      val df2 = corpus(5000)
+      val rows2 = df2.as[(Long, Double, Long)].collect().toSeq
+      val total2 = rows2.map(_._3).sum
+      for (budget <- Seq(total2 / 5, total2 / 2))
+        assert(selected(df2, budget, buckets = 4) == oracle(rows2, budget), s"budget $budget")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("budget covering the whole corpus takes a window-free plan") {
     val df = corpus(500)
     val out = Curation.selectWithinBudget(df, "id", "score", "tokens", Long.MaxValue, 16)
