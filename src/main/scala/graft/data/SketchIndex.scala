@@ -116,11 +116,24 @@ object SketchIndex {
             bloom_sketch(col("__k"), keysPerFile, fpp).as("bloom"))
         kept.unionByName(newRows)
       }
-    // stage then swap: the sidecar is its own source, so never overwrite in place
+    // stage then swap: the sidecar is its own source, so never overwrite in
+    // place. Aside-then-rename (not delete-then-rename, ADVICE r5): the old
+    // index moves ASIDE first, so a crash between the two renames leaves
+    // either the old or the new index recoverable on disk — never a window
+    // with no sidecar at all; the aside copy is deleted only after the new
+    // index is in place.
     val tmp = out + ".staging"
+    val aside = out + ".old"
     refreshed.write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(new Path(out), true)
-    require(fs.rename(new Path(tmp), new Path(out)), s"sidecar swap failed: $tmp -> $out")
+    fs.delete(new Path(aside), true) // clear any stale aside from a prior crash
+    require(fs.rename(new Path(out), new Path(aside)), s"sidecar aside failed: $out -> $aside")
+    val swapped = fs.rename(new Path(tmp), new Path(out))
+    if (!swapped) {
+      // roll the old index back rather than leaving no sidecar
+      fs.rename(new Path(aside), new Path(out))
+      throw new java.io.IOException(s"sidecar swap failed: $tmp -> $out (old index restored)")
+    }
+    fs.delete(new Path(aside), true)
     (newFiles.size.toLong, load(spark, tableDir, keyCol).count())
   }
 
