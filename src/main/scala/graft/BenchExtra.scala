@@ -27,8 +27,12 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = args.headOption.map(_.toInt).getOrElse(2)
-    val names = if (args.length > 1) args.drop(1).toSeq else headline
+    // first arg is the rep count only when it parses as one; otherwise
+    // every arg is a query name and reps default
+    val repsOpt = args.headOption.flatMap(_.toIntOption)
+    val reps = repsOpt.getOrElse(2)
+    val nameArgs = if (repsOpt.isDefined) args.drop(1).toSeq else args.toSeq
+    val names = if (nameArgs.nonEmpty) nameArgs else headline
     val plansDir = sys.env.get("SPARK_GRAFT_PLANS_DIR")
     val planSuffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
 
@@ -62,14 +66,18 @@ object BenchExtra {
       val ts = (1 to reps).map { i =>
         s.sparkContext.setJobDescription(s"$name: timed rep $i")
         val t0 = System.nanoTime()
-        try fn(s, sfDir).collect()
-        catch { case e: Throwable => System.err.println(s"[extra] $name failed: ${e.getMessage}") }
+        val failed =
+          try { fn(s, sfDir).collect(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[extra] $name FAILED: ${e.getMessage}"); true }
         val t = (System.nanoTime() - t0) / 1e9
         s.catalog.clearCache()
-        t
+        // a crashed rep must never enter the min as a "fast" measurement
+        if (failed) Double.NaN else t
       }
       System.err.println(f"[extra] $name reps=${ts.map(t => f"$t%.3f").mkString(",")}")
-      name -> ts.min
+      val ok = ts.filterNot(_.isNaN)
+      name -> (if (ok.isEmpty) Double.NaN else ok.min)
     }
     s.stop()
     val j = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

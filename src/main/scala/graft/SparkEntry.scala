@@ -122,7 +122,10 @@ object SparkEntry {
       // bit-identical to the sketch over all rows, and count(*) of the
       // distinct pairs IS the exact distinct count.
       val li = T(s, dir, "lineitem")
-      val dk = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      // NULL keys excluded so count(*) over distinct pairs is EXACTLY the
+      // former countDistinct (which ignores NULLs; so does hll_sketch)
+      val dk = li.select(col("l_returnflag"), col("l_orderkey"))
+        .filter(col("l_orderkey").isNotNull).distinct()
       dk.groupBy(col("l_returnflag"))
         .agg(hll_sketch(col("l_orderkey").cast("string"), 14).as("sk"),
           count(lit(1)).as("exact_distinct"))
@@ -737,7 +740,10 @@ object SparkEntry {
       val (blob, n) = (agg.getAs[Array[Byte]]("m"), agg.getAs[Long]("n"))
       val thr = n / 17 // guaranteed-presence threshold n/(k+1)
       // grouped counts feed BOTH the exact top-5 and the output rows —
-      // materialize them once instead of re-scanning events per consumer
+      // materialize them once instead of re-scanning events per consumer.
+      // The returned plan reads the cache, so it cannot unpersist here;
+      // blocks are tiny (one row per distinct key) and the harness clears
+      // the cache between queries (Store.Cache lifetime convention)
       val grouped = ev.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exactTop5 = grouped

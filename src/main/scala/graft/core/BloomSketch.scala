@@ -430,7 +430,13 @@ object BloomSketch {
     * blobs re-install the registered hasher by id — never a silent switch
     * to the default family.
     */
-  def deserialize(bytes: Array[Byte]): BloomSketch = {
+  /** Shared tail parse for [[deserialize]] and [[containsSerialized]]:
+    * detects the optional hasher tag (see [[BloomSketch.serialize]]) and
+    * returns (end-of-C-blob offset, hasher) — ONE place owns the tag/
+    * footer layout, so the in-place probe can never diverge from the
+    * decoded path.
+    */
+  private def parseTail(bytes: Array[Byte]): (Int, BloomHasher) = {
     require(bytes.length > 20, s"serialized bloom too short: ${bytes.length}")
     if (bytes.length > 28 &&
         bytes(bytes.length - 4) == HasherTagMagic(0) && bytes(bytes.length - 3) == HasherTagMagic(1) &&
@@ -438,8 +444,13 @@ object BloomSketch {
       val idLen = ByteBuffer.wrap(bytes, bytes.length - 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       require(idLen > 0 && bytes.length - 8 - idLen > 20, s"corrupt bloom hasher tag: idLen=$idLen")
       val id = new String(bytes, bytes.length - 8 - idLen, idLen, StandardCharsets.UTF_8)
-      deserializeBody(bytes, bytes.length - 8 - idLen, BloomHasher.lookup(id))
-    } else deserializeBody(bytes, bytes.length, FnvBloomHasher)
+      (bytes.length - 8 - idLen, BloomHasher.lookup(id))
+    } else (bytes.length, FnvBloomHasher)
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomSketch = {
+    val (end, hasher) = parseTail(bytes)
+    deserializeBody(bytes, end, hasher)
   }
 
   private def deserializeBody(bytes: Array[Byte], end: Int, hasher: BloomHasher): BloomSketch = {
@@ -466,18 +477,7 @@ object BloomSketch {
     * reads only the 20-byte footer plus k probed bytes per row.
     */
   def containsSerialized(bytes: Array[Byte], key: Array[Byte]): Boolean = {
-    require(bytes.length > 20, s"serialized bloom too short: ${bytes.length}")
-    var end = bytes.length
-    var hasher: BloomHasher = FnvBloomHasher
-    if (bytes.length > 28 &&
-        bytes(bytes.length - 4) == HasherTagMagic(0) && bytes(bytes.length - 3) == HasherTagMagic(1) &&
-        bytes(bytes.length - 2) == HasherTagMagic(2) && bytes(bytes.length - 1) == HasherTagMagic(3)) {
-      val idLen = ByteBuffer.wrap(bytes, bytes.length - 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-      require(idLen > 0 && bytes.length - 8 - idLen > 20, s"corrupt bloom hasher tag: idLen=$idLen")
-      val id = new String(bytes, bytes.length - 8 - idLen, idLen, StandardCharsets.UTF_8)
-      hasher = BloomHasher.lookup(id)
-      end = bytes.length - 8 - idLen
-    }
+    val (end, hasher) = parseTail(bytes)
     val buf = ByteBuffer.wrap(bytes, end - 20, 20).order(ByteOrder.LITTLE_ENDIAN)
     val n = buf.getLong
     buf.getLong // elementsAdded — not needed for a probe

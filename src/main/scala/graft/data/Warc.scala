@@ -330,6 +330,16 @@ object Warc {
     // would silently drop it (ADVICE r5)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sessionState.newHadoopConf())
+    // sweep temp files a KILLED prior attempt/run could not clean up (a
+    // crashed JVM runs no catch block); current-run attempts create fresh
+    // attempt-scoped names, so this only ever removes stale garbage
+    locally {
+      val dirPath = new Path(dir)
+      val fs0 = dirPath.getFileSystem(hconf.value)
+      if (fs0.exists(dirPath))
+        fs0.globStatus(new Path(dirPath, "_tmp-part-*"))
+          .foreach(st => fs0.delete(st.getPath, false))
+    }
     val written = norm.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {

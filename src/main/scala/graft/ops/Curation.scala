@@ -109,8 +109,12 @@ object Curation {
         // persisted so the subtotal pass and the running-sum pass share
         // one computation of the sliver (bounded: the sliver is one
         // equi-depth bucket; MEMORY_AND_DISK spills rather than evicts).
-        // Recompute-safe: repartitionByRange samples deterministically,
-        // so spark_partition_id is stable for a given input.
+        // Lifetime follows the library's Store.Cache convention (see
+        // graft.ops.Dedup): blocks live until session end or
+        // `clearCache()` — callers running MANY budget selections in one
+        // session should clear between them. Recompute-safe:
+        // repartitionByRange samples deterministically, so
+        // spark_partition_id is stable for a given input.
         val sliver = bucketed.filter(col("__graft_cb") === boundaryBucket)
           .repartitionByRange(P, score.desc, col(idCol).asc)
           .withColumn("__graft_pid", spark_partition_id())
@@ -121,9 +125,14 @@ object Curation {
         val offsets: Map[Int, Long] = subTotals.map { case (pid, t) =>
           val o = pid -> running; running += t; o
         }.toMap
+        // every pid of the persisted sliver appears in `offsets` by
+        // construction (the subtotals were computed from the SAME cached
+        // data the window pass reads), so the lookup cannot miss; under
+        // Spark's default ANSI mode a structurally-impossible miss would
+        // fail loudly rather than silently corrupt the prefix sum
         val offset =
           if (offsets.isEmpty) lit(0L)
-          else coalesce(element_at(typedLit(offsets), col("__graft_pid")), lit(0L))
+          else element_at(typedLit(offsets), col("__graft_pid"))
         val w = Window.partitionBy(col("__graft_pid"))
           .orderBy(score.desc, col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
